@@ -1,0 +1,488 @@
+"""Driver correctness-gate query registry.
+
+Every implemented operator gets (a) a Spark callable and (b) a DuckDB oracle
+SQL string (``__spark_entry__.py`` re-exports both).  SQL-expressible
+operators are written ONCE as a dialect-parametric template so the Spark
+query and the oracle are the same computation by construction; the spatial
+operators run through ``city2graph_spark.operators`` on the Spark side and a
+brute-force definitional oracle on the DuckDB side (mirroring the
+reference's own brute-force test oracles,
+/root/reference/tests/test_proximity.py:116-148).
+
+Cross-engine determinism rules used throughout (validated in round 1):
+
+- doubles: identical arithmetic expression trees ⇒ identical IEEE doubles;
+  quantize outputs with FLOOR(x·10^s) (never ROUND/CAST — cast truncates in
+  Spark but rounds in DuckDB);
+- sums: always over DECIMAL (exact, order-independent), cast to DOUBLE after;
+- hashing: md5 hex → 60-bit int (``conv`` in Spark, ``('0x'||…)::BIGINT`` in
+  DuckDB) — verified bit-identical;
+- every aggregate/computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io.points import POINTS_CTE, derived_points
+from .operators.proximity import (
+    estimate_knn_cell,
+    fixed_radius_graph,
+    gabriel_graph,
+    knn_graph,
+    relative_neighborhood_graph,
+    waxman_graph,
+)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+KNN_K = 5
+RADIUS = 250.0
+R_CAND = 700.0
+WAXMAN = dict(beta=0.6, r0=150.0, seed=42, p_min=1e-3)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# --------------------------------------------------------------------------
+# dialect helpers
+# --------------------------------------------------------------------------
+
+def _md5int(e: str, d: str) -> str:
+    """60-bit integer from the md5 hex digest — identical in both engines."""
+    if d == "spark":
+        return f"CAST(conv(substr(md5({e}),1,15),16,10) AS BIGINT)"
+    return f"(('0x'||substr(md5({e}),1,15))::BIGINT)"
+
+
+def _str(e: str, d: str) -> str:
+    return f"CAST({e} AS STRING)" if d == "spark" else f"CAST({e} AS VARCHAR)"
+
+
+def _epoch_us(e: str, d: str) -> str:
+    # parquet TIMESTAMP loads as TIMESTAMP_NTZ in Spark 4; session tz is
+    # pinned to UTC (session.py) so the NTZ→TZ cast is the identity DuckDB's
+    # naive-as-UTC epoch_us uses.
+    if d == "spark":
+        return f"unix_micros(CAST({e} AS TIMESTAMP))"
+    return f"epoch_us({e})"
+
+
+def _idiv(a: str, b: str, d: str) -> str:
+    return f"({a} DIV {b})" if d == "spark" else f"({a} // {b})"
+
+
+def _shl(a: str, b: str, d: str) -> str:
+    return f"shiftleft({a}, {b})" if d == "spark" else f"({a} << {b})"
+
+
+def _shr(a: str, b: str, d: str) -> str:
+    return f"shiftright({a}, {b})" if d == "spark" else f"({a} >> {b})"
+
+
+def _xor(a: str, b: str, d: str) -> str:
+    return f"({a} ^ {b})" if d == "spark" else f"xor({a}, {b})"
+
+
+def _tokens_rel(d: str) -> str:
+    """Relation (doc_id, tok): whitespace tokenisation of documents.text."""
+    if d == "spark":
+        return ("(SELECT doc_id, tok FROM documents "
+                "LATERAL VIEW explode(split(text, ' ')) _t AS tok)")
+    return "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"
+
+
+def _shingles_rel(d: str, n: int = 4) -> str:
+    """Relation (doc_id, shingle): distinct character n-grams of text."""
+    if d == "spark":
+        pos = (f"(SELECT doc_id, text, pos FROM documents LATERAL VIEW "
+               f"explode(sequence(1, greatest(length(text) - {n - 1}, 1))) _p AS pos)")
+    else:
+        pos = (f"(SELECT doc_id, text, unnest(generate_series(1, "
+               f"greatest(length(text) - {n - 1}, 1))) AS pos FROM documents)")
+    return (f"(SELECT DISTINCT doc_id, substr(text, pos, {n}) AS shingle "
+            f"FROM {pos} _q)")
+
+
+def _seq_rel(alias: str, lo: int, hi: int, d: str) -> str:
+    """Relation of one integer column `alias` over [lo, hi]."""
+    if d == "spark":
+        return f"(SELECT explode(sequence({lo}, {hi})) AS {alias})"
+    return f"(SELECT unnest(generate_series({lo}, {hi})) AS {alias})"
+
+
+# --------------------------------------------------------------------------
+# spatial oracles (DuckDB side only — Spark side runs the real operators)
+# --------------------------------------------------------------------------
+
+_PAIRS_CTE = (
+    "cand AS (SELECT * FROM (SELECT a.node_id AS u, a.x AS ux, a.y AS uy, "
+    "b.node_id AS v, b.x AS vx, b.y AS vy, "
+    "sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS d "
+    "FROM pts a, pts b WHERE a.node_id < b.node_id) _c WHERE d <= {r})"
+)
+
+
+def _knn_oracle() -> str:
+    return f"""
+WITH {POINTS_CTE},
+allp AS (SELECT a.node_id AS src, b.node_id AS dst,
+  sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS w
+  FROM pts a, pts b WHERE a.node_id <> b.node_id),
+topk AS (SELECT src, dst, w,
+  row_number() OVER (PARTITION BY src ORDER BY w, dst) AS rn FROM allp)
+SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst,
+  CAST(floor(w*10000) AS BIGINT) AS weight_q
+FROM topk WHERE rn <= {KNN_K}
+"""
+
+
+def _radius_oracle() -> str:
+    return f"""
+WITH {POINTS_CTE}, {_PAIRS_CTE.format(r=RADIUS)}
+SELECT u AS src, v AS dst, CAST(floor(d*10000) AS BIGINT) AS weight_q FROM cand
+"""
+
+
+def _gabriel_oracle() -> str:
+    return f"""
+WITH {POINTS_CTE}, {_PAIRS_CTE.format(r=R_CAND)},
+bad AS (SELECT DISTINCT c.u, c.v FROM cand c, pts w
+  WHERE (c.ux-w.x)*(c.vx-w.x)+(c.uy-w.y)*(c.vy-w.y) < 0)
+SELECT c.u AS src, c.v AS dst, CAST(floor(c.d*10000) AS BIGINT) AS weight_q
+FROM cand c LEFT JOIN bad ON c.u = bad.u AND c.v = bad.v WHERE bad.u IS NULL
+"""
+
+
+def _rng_oracle() -> str:
+    # thr = d² − eps·64·max(d²,1)  (reference proximity.py:1176)
+    return f"""
+WITH {POINTS_CTE}, {_PAIRS_CTE.format(r=R_CAND)},
+bad AS (SELECT DISTINCT c.u, c.v FROM cand c, pts w
+  WHERE ((c.ux-w.x)*(c.vx-w.x)+(c.uy-w.y)*(c.vy-w.y) < 0)
+     OR (((c.ux-w.x)*(c.ux-w.x)+(c.uy-w.y)*(c.uy-w.y)
+            < c.d*c.d - 1.4210854715202004e-14 * greatest(c.d*c.d, 1.0))
+         AND ((c.vx-w.x)*(c.vx-w.x)+(c.vy-w.y)*(c.vy-w.y)
+            < c.d*c.d - 1.4210854715202004e-14 * greatest(c.d*c.d, 1.0))))
+SELECT c.u AS src, c.v AS dst, CAST(floor(c.d*10000) AS BIGINT) AS weight_q
+FROM cand c LEFT JOIN bad ON c.u = bad.u AND c.v = bad.v WHERE bad.u IS NULL
+"""
+
+
+def _waxman_oracle() -> str:
+    import math
+    b, r0, seed, p_min = (WAXMAN["beta"], WAXMAN["r0"], WAXMAN["seed"],
+                          WAXMAN["p_min"])
+    d_max = -r0 * math.log(p_min / b)
+    key = f"{_str(str(seed), 'duckdb')}||'_'||{_str('u', 'duckdb')}||'_'||{_str('v', 'duckdb')}"
+    return f"""
+WITH {POINTS_CTE}, {_PAIRS_CTE.format(r=d_max)}
+SELECT u AS src, v AS dst, CAST(floor(d*10000) AS BIGINT) AS weight_q
+FROM cand
+WHERE CAST({_md5int(key, 'duckdb')} AS DOUBLE) / 1152921504606846976.0
+      < {b} * exp(-d / {r0})
+"""
+
+
+def _quantized(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst",
+                        F.floor(F.col("weight") * 10000).cast("long").alias("weight_q"))
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = derived_points(spark, sf_dir)
+    cell = estimate_knn_cell(pts.count(), KNN_K)
+    return _quantized(knn_graph(pts, KNN_K, cell_size=cell))
+
+
+def q_fixed_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quantized(fixed_radius_graph(derived_points(spark, sf_dir), RADIUS)
+                      .withColumnRenamed("u", "src"))
+
+
+def q_gabriel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = gabriel_graph(derived_points(spark, sf_dir), r_cand=R_CAND)
+    return _quantized(e.withColumnRenamed("u", "src").withColumnRenamed("v", "dst"))
+
+
+def q_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = relative_neighborhood_graph(derived_points(spark, sf_dir), r_cand=R_CAND)
+    return _quantized(e.withColumnRenamed("u", "src").withColumnRenamed("v", "dst"))
+
+
+def q_waxman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = waxman_graph(derived_points(spark, sf_dir), WAXMAN["beta"], WAXMAN["r0"],
+                     WAXMAN["seed"], p_min=WAXMAN["p_min"])
+    return _quantized(e.withColumnRenamed("u", "src").withColumnRenamed("v", "dst"))
+
+
+# --------------------------------------------------------------------------
+# dialect-parametric SQL queries (same computation on both engines)
+# --------------------------------------------------------------------------
+
+def sql_od_pairs_events(d: str) -> str:
+    """T3 ``get_od_pairs`` shape (transportation.py:792-808): LEAD window
+    over an ordered sequence, leg travel time."""
+    ord_ = "PARTITION BY user_id ORDER BY ts, event_id"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, ts,
+         lead(event_id)  OVER ({ord_}) AS next_event_id,
+         lead(event_type) OVER ({ord_}) AS next_event_type,
+         lead(ts)        OVER ({ord_}) AS next_ts
+  FROM events)
+SELECT user_id, event_id, next_event_id, event_type, next_event_type,
+       CAST({_epoch_us('next_ts', d)} - {_epoch_us('ts', d)} AS BIGINT) AS travel_us
+FROM seq WHERE next_event_id IS NOT NULL
+"""
+
+
+def sql_travel_summary(d: str) -> str:
+    """T4 ``travel_summary_graph`` shape (transportation.py:1109-1117):
+    undirected stop-pair aggregation with service-count-weighted mean
+    travel time — Σ(tt·sc)/Σ(sc) — and frequency Σ(sc)."""
+    return """
+WITH legs AS (
+  SELECT least(l_suppkey % 50, l_partkey % 50) AS a,
+         greatest(l_suppkey % 50, l_partkey % 50) AS b,
+         CAST(l_extendedprice AS DECIMAL(18,4)) AS tt,
+         CAST(l_quantity AS DECIMAL(18,4)) AS sc
+  FROM lineitem)
+SELECT CAST(a AS BIGINT) AS from_id, CAST(b AS BIGINT) AS to_id,
+       CAST(floor(CAST(SUM(tt*sc) AS DOUBLE) / CAST(SUM(sc) AS DOUBLE) * 100)
+            AS BIGINT) AS travel_time_q,
+       CAST(floor(CAST(SUM(sc) AS DOUBLE) * 100) AS BIGINT) AS frequency_q
+FROM legs GROUP BY a, b
+"""
+
+
+def sql_od_matrix_graph(d: str) -> str:
+    """O1 ``od_matrix_to_graph`` (mobility.py:54-191): duplicate-summing,
+    self-loop drop, undirected reciprocal merge (sum), threshold AFTER
+    merge."""
+    return """
+WITH flows AS (
+  SELECT c.c_nationkey AS sz, s.s_nationkey AS dz,
+         CAST(l.l_quantity AS DECIMAL(18,4)) AS flow
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+und AS (
+  SELECT least(sz, dz) AS source, greatest(sz, dz) AS target, SUM(flow) AS w
+  FROM flows WHERE sz <> dz GROUP BY least(sz, dz), greatest(sz, dz))
+SELECT CAST(source AS BIGINT) AS source, CAST(target AS BIGINT) AS target,
+       CAST(floor(CAST(w AS DOUBLE) * 100) AS BIGINT) AS weight_q
+FROM und WHERE CAST(w AS DOUBLE) >= 50.0
+"""
+
+
+def sql_metapath_2hop(d: str) -> str:
+    """X1 ``add_metapaths`` (metapath.py:758-994): typed join chain
+    customer→orders→lineitem→supplier; weight = path count; attribute
+    row-reduced along the path then group-summed."""
+    return """
+SELECT c.c_custkey AS src, s.s_suppkey AS dst,
+       CAST(COUNT(*) AS BIGINT) AS weight,
+       CAST(floor(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE))
+            AS BIGINT) AS attr_sum_q
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY c.c_custkey, s.s_suppkey
+"""
+
+
+def sql_exact_dedup(d: str) -> str:
+    """Exact dedup: content-hash groupBy, keeper = min doc_id."""
+    return """
+SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def sql_token_count(d: str) -> str:
+    toks = _tokens_rel(d)
+    return f"""
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM {toks} _t GROUP BY doc_id
+"""
+
+
+def sql_quality_score(d: str) -> str:
+    toks = _tokens_rel(d)
+    return f"""
+WITH agg AS (
+  SELECT doc_id, COUNT(*) AS nt, COUNT(DISTINCT tok) AS nd,
+         CAST(SUM(length(tok)) AS BIGINT) AS totlen
+  FROM {toks} _t GROUP BY doc_id)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct,
+       CAST(floor(CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE) * 10000) AS BIGINT) AS ttr_q,
+       CAST(floor(CAST(totlen AS DOUBLE) / CAST(nt AS DOUBLE) * 100) AS BIGINT) AS avg_len_q
+FROM agg
+"""
+
+
+def sql_lang_id(d: str) -> str:
+    """n-gram/stopword language-ID heuristic over the token stream."""
+    toks = _tokens_rel(d)
+    return f"""
+WITH agg AS (
+  SELECT doc_id, COUNT(*) AS nt,
+         CAST(SUM(CASE WHEN tok IN ('the','a','of','and','is') THEN 1 ELSE 0 END)
+              AS BIGINT) AS sw
+  FROM {toks} _t GROUP BY doc_id)
+SELECT doc_id,
+       CASE WHEN CAST(sw AS DOUBLE) / CAST(nt AS DOUBLE) >= 0.08 THEN 'en'
+            ELSE 'other' END AS pred_lang,
+       CAST(floor(CAST(sw AS DOUBLE) / CAST(nt AS DOUBLE) * 10000) AS BIGINT)
+            AS stopword_ratio_q
+FROM agg
+"""
+
+
+def sql_ngram_jaccard(d: str) -> str:
+    """Character-4-gram Jaccard near-dup pairs (threshold 0.5)."""
+    sh = _shingles_rel(d)
+    return f"""
+WITH sh AS (SELECT * FROM {sh} _s),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ic
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(floor(CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) * 10000)
+            AS BIGINT) AS jaccard_q
+FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+WHERE CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) >= 0.5
+"""
+
+
+def sql_minhash_lsh(d: str) -> str:
+    """MinHash+LSH near-dup candidates: 8 md5-derived min-hashes over
+    char-4-gram shingles, 4 bands × 2 rows, bucket self-join."""
+    sh = _shingles_rel(d)
+    seq = _seq_rel("j", 0, 7, d)
+    hkey = _md5int(f"{_str('j', d)}||'_'||shingle", d)
+    band = _idiv("j", "2", d)
+    return f"""
+WITH sh AS (SELECT * FROM {sh} _s),
+mh AS (
+  SELECT doc_id, j, MIN({hkey}) AS h
+  FROM sh CROSS JOIN {seq} _j GROUP BY doc_id, j),
+bands AS (
+  SELECT doc_id, {band} AS band,
+         MIN(CASE WHEN j % 2 = 0 THEN h END) AS h0,
+         MIN(CASE WHEN j % 2 = 1 THEN h END) AS h1
+  FROM mh GROUP BY doc_id, {band})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+"""
+
+
+def sql_simhash(d: str) -> str:
+    """16-bit SimHash fingerprint from md5-derived token hash bits."""
+    toks = _tokens_rel(d)
+    seq = _seq_rel("i", 0, 15, d)
+    h = _md5int("tok", d)
+    bit = f"({_shr('h', 'i', d)} & 1)"
+    return f"""
+WITH th AS (SELECT DISTINCT doc_id, {h} AS h FROM {toks} _t),
+bits AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN {seq} _i GROUP BY doc_id, i)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN {_shl('CAST(1 AS BIGINT)', 'i', d)}
+                ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def sql_embedding_topk(d: str) -> str:
+    """Brute-force cosine top-k (k=3) ANN baseline over embeddings.
+    Output is rank-only (ids + rank) — float similarity values stay
+    internal so the hash compare is robust; ordering ties break by
+    neighbor id."""
+    if d == "spark":
+        dot = ("aggregate(zip_with(a.embedding, b.embedding, "
+               "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+               "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        nrm = ("sqrt(aggregate(transform(embedding, "
+               "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+               "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+    else:
+        dot = ("list_sum(list_transform(generate_series(1, 64), "
+               "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))")
+        nrm = ("sqrt(list_sum(list_transform(generate_series(1, 64), "
+               "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))")
+    return f"""
+WITH nv AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         {dot} / (a.nrm * b.nrm) AS sim
+  FROM nv a JOIN nv b ON a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+  FROM sims)
+SELECT qid, nid, CAST(rn AS BIGINT) AS rnk FROM ranked WHERE rn <= 3
+"""
+
+
+_SQL_QUERIES = {
+    "od_pairs_events": sql_od_pairs_events,
+    "travel_summary": sql_travel_summary,
+    "od_matrix_graph": sql_od_matrix_graph,
+    "metapath_2hop": sql_metapath_2hop,
+    "exact_dedup": sql_exact_dedup,
+    "token_count": sql_token_count,
+    "quality_score": sql_quality_score,
+    "lang_id": sql_lang_id,
+    "ngram_jaccard": sql_ngram_jaccard,
+    "minhash_lsh": sql_minhash_lsh,
+    "simhash": sql_simhash,
+    "embedding_topk": sql_embedding_topk,
+}
+
+_SPATIAL_QUERIES = {
+    "knn_graph": (q_knn, _knn_oracle),
+    "fixed_radius_graph": (q_fixed_radius, _radius_oracle),
+    "gabriel_graph": (q_gabriel, _gabriel_oracle),
+    "rng_graph": (q_rng, _rng_oracle),
+    "waxman_graph": (q_waxman, _waxman_oracle),
+}
+
+
+def _make_sql_runner(builder):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(builder("spark"))
+    return run
+
+
+def queries():
+    out = {}
+    for name, (fn, _) in _SPATIAL_QUERIES.items():
+        out[name] = fn
+    for name, builder in _SQL_QUERIES.items():
+        out[name] = _make_sql_runner(builder)
+    return out
+
+
+def oracle_sql():
+    out = {}
+    for name, (_, oracle) in _SPATIAL_QUERIES.items():
+        out[name] = oracle()
+    for name, builder in _SQL_QUERIES.items():
+        out[name] = builder("duckdb")
+    return out

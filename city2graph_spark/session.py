@@ -1,0 +1,43 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the target deployment (1000-executor cluster over ~100 TB of
+Iceberg/parquet) but runs identically on ``local[N]`` in tests:
+
+- AQE on (runtime coalesce + skew-join splitting — urban-core cells are the
+  canonical skew source, SURVEY.md §7.3).
+- Arrow on for every pandas UDF / applyInPandas boundary.
+- shuffle partitions sized for the local harness; a real cluster submit
+  overrides via ``spark-submit --conf``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "city2graph_spark", master: str | None = None,
+              shuffle_partitions: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions",
+                shuffle_partitions or os.environ.get(
+                    "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
