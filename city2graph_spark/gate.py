@@ -409,22 +409,15 @@ FROM bits GROUP BY doc_id
 
 
 def sql_embedding_topk(d: str) -> str:
-    """Brute-force cosine top-k (k=3) ANN baseline over embeddings.
-    Output is rank-only (ids + rank) — float similarity values stay
-    internal so the hash compare is robust; ordering ties break by
-    neighbor id."""
-    if d == "spark":
-        dot = ("aggregate(zip_with(a.embedding, b.embedding, "
-               "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-               "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-        nrm = ("sqrt(aggregate(transform(embedding, "
-               "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-               "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
-    else:
-        dot = ("list_sum(list_transform(generate_series(1, 64), "
-               "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))")
-        nrm = ("sqrt(list_sum(list_transform(generate_series(1, 64), "
-               "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))")
+    """Brute-force cosine top-k (k=3) ANN oracle over embeddings (the Spark
+    side runs pipeline.simsearch.cosine_topk — numpy GEMM over broadcast
+    build matrix).  Output is rank-only (ids + rank) — float similarity
+    stays internal so the hash compare is robust to summation-order ulps;
+    ordering ties break by neighbor id."""
+    dot = ("list_sum(list_transform(generate_series(1, 64), "
+           "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))")
+    nrm = ("sqrt(list_sum(list_transform(generate_series(1, 64), "
+           "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))")
     return f"""
 WITH nv AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
 sims AS (
@@ -451,8 +444,21 @@ _SQL_QUERIES = {
     "ngram_jaccard": sql_ngram_jaccard,
     "minhash_lsh": sql_minhash_lsh,
     "simhash": sql_simhash,
-    "embedding_topk": sql_embedding_topk,
 }
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.simsearch import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, 3)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: LSH bucket candidate pairs (approximate by design —
+    no SQL-expressible oracle; correctness covered by pytest recall test)."""
+    from .pipeline.simsearch import ann_lsh_candidates
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_candidates(emb)
 
 _SPATIAL_QUERIES = {
     "knn_graph": (q_knn, _knn_oracle),
@@ -460,6 +466,8 @@ _SPATIAL_QUERIES = {
     "gabriel_graph": (q_gabriel, _gabriel_oracle),
     "rng_graph": (q_rng, _rng_oracle),
     "waxman_graph": (q_waxman, _waxman_oracle),
+    "embedding_topk": (q_embedding_topk, lambda: sql_embedding_topk("duckdb")),
+    "ann_lsh": (q_ann_lsh, None),
 }
 
 
@@ -482,7 +490,8 @@ def queries():
 def oracle_sql():
     out = {}
     for name, (_, oracle) in _SPATIAL_QUERIES.items():
-        out[name] = oracle()
+        if oracle is not None:
+            out[name] = oracle()
     for name, builder in _SQL_QUERIES.items():
         out[name] = builder("duckdb")
     return out

@@ -28,6 +28,7 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..index import explode_cells_in_box, explode_ring, with_cell
 
@@ -36,17 +37,103 @@ from ..index import explode_cells_in_box, explode_ring, with_cell
 _EPS64 = 2.220446049250313e-16
 
 
+def _persist(df: DataFrame) -> DataFrame:
+    """Persist a sub-DAG consumed by several downstream branches.  On a real
+    cluster this is where an Iceberg snapshot checkpoint would land (north
+    rule resumability); in-process, MEMORY_AND_DISK gives the same reuse."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _dist(metric: str, dx, dy):
     if metric == "manhattan":
         return F.abs(dx) + F.abs(dy)
     return F.sqrt(dx * dx + dy * dy)
 
 
-def estimate_knn_cell(n: int, k: int, domain: float = 5000.0) -> float:
-    """Cell size targeting ~high phase-1 certification: twice the expected
-    kth-NN distance for a uniform density of n points over domain²."""
+def estimate_knn_cell(n: int, k: int, domain: float = 5000.0,
+                      target_per_block: float = 128.0) -> float:
+    """Superblock size for the phase-1 local-kNN kernel: ~target_per_block
+    points per block.  Phase-1 compute is n × 9·(points/block) distance
+    evals, so smaller blocks are cheaper as long as (a) the certificate
+    margin (≥ block size) stays above the kth-NN distance and (b) group
+    count stays sane; 128/block keeps both with ~10× headroom for k ≤ 16.
+    At 10^12 rows the same sizing rule keeps per-task memory bounded:
+    blocks scale with density, not with total n."""
     n = max(n, 2)
-    return max(domain * math.sqrt(max(k, 1) / (3.0 * n)) * 2.0, domain / (1 << 18))
+    b = domain * math.sqrt(min(target_per_block / n, 1.0))
+    return max(b, domain / (1 << 16))
+
+
+def _local_topk_kernel(k: int, metric: str, block_size: float):
+    """Build the cogrouped-applyInPandas kernel: per superblock, exact
+    top-k of every probe against the block's 3×3-halo candidate set.
+
+    All arithmetic is numpy float64 with the same expression tree as the
+    column/oracle path (dx·dx + dy·dy → sqrt), so distances are bit-identical
+    across the three execution strategies.  Tie-break is (distance, dst id) —
+    implemented by pre-sorting candidates by id and using stable sorts.
+    """
+    import numpy as np
+    import pandas as pd
+
+    empty = {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"),
+             "weight": pd.Series(dtype="float64")}
+
+    def kernel(rows: "pd.DataFrame") -> "pd.DataFrame":
+        # One row per (point, covered block): the copy whose home cell equals
+        # the group's query cell is a probe; every row is a candidate.
+        # (Single-sided grouping — Spark 4.1's cogroup prunes the right
+        # side's columns under generator inputs, so cogroup is avoided.)
+        home = (rows["cell"] == rows["qcell"]).to_numpy()
+        if not home.any() or len(rows) < 2:
+            return pd.DataFrame(empty)
+        order = np.argsort(rows["node_id"].to_numpy(), kind="stable")
+        cid = rows["node_id"].to_numpy()[order]
+        cx = rows["x"].to_numpy()[order]
+        cy = rows["y"].to_numpy()[order]
+        pid = rows["node_id"].to_numpy()[home]
+        px = rows["x"].to_numpy()[home]
+        py = rows["y"].to_numpy()[home]
+        nc = len(cid)
+        kk = min(k, nc - 1)
+        if kk <= 0:
+            return pd.DataFrame(empty)
+        out_src, out_dst, out_w = [], [], []
+        # chunk probes so chunk×candidates stays bounded (skewed blocks)
+        chunk = max(1, int(4_000_000 / nc))
+        m = min(kk + 8, nc)  # argpartition margin for boundary ties
+        for s in range(0, len(pid), chunk):
+            cpid, cpx, cpy = pid[s:s + chunk], px[s:s + chunk], py[s:s + chunk]
+            dx = cpx[:, None] - cx[None, :]
+            dy = cpy[:, None] - cy[None, :]
+            if metric == "manhattan":
+                dist = np.abs(dx) + np.abs(dy)
+            else:
+                dist = np.sqrt(dx * dx + dy * dy)
+            dist[cpid[:, None] == cid[None, :]] = np.inf  # exclude self
+            if m < nc:
+                part = np.argpartition(dist, m - 1, axis=1)[:, :m]
+            else:
+                part = np.broadcast_to(np.arange(nc), (len(cpid), nc)).copy()
+            sel_d = np.take_along_axis(dist, part, axis=1)
+            sel_i = cid[part]
+            # row-wise lexicographic (dist, id): order by id, then stable by dist
+            o1 = np.argsort(sel_i, axis=1, kind="stable")
+            sel_d = np.take_along_axis(sel_d, o1, axis=1)
+            sel_i = np.take_along_axis(sel_i, o1, axis=1)
+            o2 = np.argsort(sel_d, axis=1, kind="stable")[:, :kk]
+            top_d = np.take_along_axis(sel_d, o2, axis=1)
+            top_i = np.take_along_axis(sel_i, o2, axis=1)
+            keep = np.isfinite(top_d)
+            rows = np.repeat(cpid, kk).reshape(-1, kk)
+            out_src.append(rows[keep])
+            out_dst.append(top_i[keep])
+            out_w.append(top_d[keep])
+        return pd.DataFrame({"src": np.concatenate(out_src),
+                             "dst": np.concatenate(out_dst),
+                             "weight": np.concatenate(out_w)})
+
+    return kernel
 
 
 def knn_graph(points: DataFrame, k: int, *, cell_size: float,
@@ -58,9 +145,18 @@ def knn_graph(points: DataFrame, k: int, *, cell_size: float,
     unordered pairs and dedupes.  Ties break by (distance, dst) — the same
     deterministic order the oracle SQL uses.
 
+    Strategy: ``cell_size`` is the *superblock* size.  Phase 1 computes each
+    block's probes against its 3×3-halo candidates with a vectorized numpy
+    kernel inside a cogrouped ``applyInPandas`` (pairs never materialise in
+    the shuffle — only k edges per probe come back).  Phase 2 re-probes the
+    per-point certificate failures with a variable-radius cell join; a
+    residual broadcast fallback handles probes with fewer than k candidates
+    anywhere in the halo.  Exact at every phase.
+
     Returns (src, dst, weight).
     """
-    pts = with_cell(points, cell_size=cell_size)
+    B = float(cell_size)
+    pts = with_cell(points, cell_size=B)
     build = pts.select(
         F.col("node_id").alias("dst"), F.col("x").alias("bx"),
         F.col("y").alias("by"), F.col("cell").alias("bcell"))
@@ -71,37 +167,44 @@ def knn_graph(points: DataFrame, k: int, *, cell_size: float,
         return (cand.withColumn("_rn", F.row_number().over(w))
                     .where(F.col("_rn") <= k).drop("_rn"))
 
-    # ---- phase 1: 3×3 halo candidates --------------------------------
-    probe = explode_ring(pts, ring=1).select(
-        F.col("node_id").alias("src"), F.col("x").alias("px"),
-        F.col("y").alias("py"), "qcell")
-    cand1 = (probe.join(build, probe.qcell == build.bcell)
-             .withColumn("weight", _dist(metric, F.col("px") - F.col("bx"),
-                                         F.col("py") - F.col("by"))))
-    top1 = rank_topk(cand1.select("src", "px", "py", "dst", "weight"))
+    # ---- phase 1: per-superblock local kNN (grouped pandas kernel) -----
+    # Every point is exploded to the 9 blocks it can serve as a candidate
+    # for; the home-cell copy doubles as the probe.
+    cands = explode_ring(pts, ring=1, cx="cell_cx", cy="cell_cy", out="qcell") \
+        .select("node_id", "x", "y", "cell", "qcell")
+    top1 = _persist(
+        cands.groupBy("qcell")
+        .applyInPandas(_local_topk_kernel(k, metric, B),
+                       "src long, dst long, weight double"))
 
-    # Certificate: a point's kth-found distance must be strictly inside the
-    # guaranteed-scanned halo (≥ cell_size from any interior point), and k
-    # candidates must exist at all.
-    # Anchor on the full point set: a probe with ZERO halo candidates must
-    # still reach the fallback, so left-join the phase-1 aggregates.
+    # Certificate: the kth-found distance must be strictly inside the
+    # scanned 3×3 region — margin = exact distance from the point to that
+    # region's boundary (≥ B always).  Anchor on the full point set so
+    # probes with zero candidates still reach the fallback.
     agg1 = top1.groupBy("src").agg(F.max("weight").alias("_kth"),
                                    F.count("*").alias("_cnt"))
-    stats1 = (pts.select(F.col("node_id").alias("src"),
-                         F.col("x").alias("px"), F.col("y").alias("py"))
-              .join(agg1, "src", "left")
-              .withColumn("_cnt", F.coalesce(F.col("_cnt"), F.lit(0))))
-    certified = stats1.where((F.col("_cnt") == k) & (F.col("_kth") < F.lit(float(cell_size))))
+    margin = F.least(
+        F.col("px") - (F.floor(F.col("px") / B) - 1) * B,
+        (F.floor(F.col("px") / B) + 2) * B - F.col("px"),
+        F.col("py") - (F.floor(F.col("py") / B) - 1) * B,
+        (F.floor(F.col("py") / B) + 2) * B - F.col("py"))
+    stats1 = _persist(
+        pts.select(F.col("node_id").alias("src"),
+                   F.col("x").alias("px"), F.col("y").alias("py"))
+           .join(agg1, "src", "left")
+           .withColumn("_cnt", F.coalesce(F.col("_cnt"), F.lit(0)))
+           .withColumn("_margin", margin))
+    certified = stats1.where((F.col("_cnt") == k) & (F.col("_kth") < F.col("_margin")))
     top_certified = top1.join(certified.select("src"), "src", "left_semi")
 
     # ---- phase 2: boundary exchange for uncertified probes -----------
     # Probes that found k candidates but too far: every true neighbor lies
     # within the found kth distance ⇒ re-probe a per-row box of that radius.
-    retry = stats1.where((F.col("_cnt") == k) & (F.col("_kth") >= F.lit(float(cell_size))))
+    retry = stats1.where((F.col("_cnt") == k) & (F.col("_kth") >= F.col("_margin")))
     retry = explode_cells_in_box(
         retry, F.col("px") - F.col("_kth"), F.col("py") - F.col("_kth"),
         F.col("px") + F.col("_kth"), F.col("py") + F.col("_kth"),
-        cell_size=cell_size)
+        cell_size=B)
     cand2 = (retry.join(build, retry.qcell == build.bcell)
              .withColumn("weight", _dist(metric, F.col("px") - F.col("bx"),
                                          F.col("py") - F.col("by"))))
@@ -169,71 +272,179 @@ def _radius_candidates(points: DataFrame, r_cand: float) -> DataFrame:
                 + (F.col("uy") - F.col("vy")) * (F.col("uy") - F.col("vy"))))
             .where(F.col("dist") <= F.lit(float(r_cand)))
             .select("u", "v", "ux", "uy", "vx", "vy", "dist")
-            .dropDuplicates(["u", "v"]))
+            .dropDuplicates(["u", "v"])
+            # consumed twice (witness probe + final anti-join)
+            .transform(_persist))
 
 
-def gabriel_graph(points: DataFrame, *, r_cand: float) -> DataFrame:
+def _empty_graph_kernel(r_cand: float, block: float, mode: str):
+    """Per-superblock kernel computing radius-bounded empty-region graphs
+    (Gabriel: empty diametral disc; RNG: Gabriel test + empty lune — the
+    reference's exact predicate chain, proximity.py:1071-1078 / 1171-1181).
+
+    Exactness: with r_cand ≤ block size, every candidate edge's disc/lune
+    lies inside the 3×3 halo of the home block, so the local witness set is
+    complete — no phase 2 needed.  Candidate distances use the same
+    dx·dx+dy·dy → sqrt expression tree as the oracle; the witness dot/dist²
+    tests run as BLAS matmuls (c_e − A_e·Wᵀ + s_w), which differs from the
+    reference's expression only at measure-zero boundary configurations;
+    endpoint self-hits are masked by id, never by the rounded dot.
+    """
+    import numpy as np
+    import pandas as pd
+
+    empty = {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64"),
+             "weight": pd.Series(dtype="float64")}
+
+    def kernel(rows: "pd.DataFrame") -> "pd.DataFrame":
+        home = (rows["cell"] == rows["qcell"]).to_numpy()
+        if not home.any() or len(rows) < 2:
+            return pd.DataFrame(empty)
+        order = np.argsort(rows["node_id"].to_numpy(), kind="stable")
+        cid = rows["node_id"].to_numpy()[order]
+        W = np.column_stack([rows["x"].to_numpy()[order],
+                             rows["y"].to_numpy()[order]])
+        pid = rows["node_id"].to_numpy()[home]
+        P = np.column_stack([rows["x"].to_numpy()[home],
+                             rows["y"].to_numpy()[home]])
+        nc = len(cid)
+
+        # ---- candidate pairs (exact distances, oracle expression tree) --
+        eu, ev, ew = [], [], []
+        chunk = max(1, int(4_000_000 / nc))
+        for s in range(0, len(pid), chunk):
+            cpid, cP = pid[s:s + chunk], P[s:s + chunk]
+            dx = cP[:, 0][:, None] - W[:, 0][None, :]
+            dy = cP[:, 1][:, None] - W[:, 1][None, :]
+            dist = np.sqrt(dx * dx + dy * dy)
+            pair = (dist <= r_cand) & (cpid[:, None] < cid[None, :])
+            ei, ej = np.nonzero(pair)
+            if len(ei):
+                eu.append(np.searchsorted(cid, cpid[ei]))
+                ev.append(ej)
+                ew.append(dist[ei, ej])
+        if not eu:
+            return pd.DataFrame(empty)
+        iu = np.concatenate(eu)   # witness-array index of u
+        iv = np.concatenate(ev)   # witness-array index of v
+        d = np.concatenate(ew)
+
+        # ---- witness pass, sub-cell localised -------------------------
+        # Disc witnesses lie within d/2 ≤ r/2 of the edge midpoint; lune
+        # witnesses within 1.5·r.  Bucket witnesses into r-sized sub-cells
+        # and test each edge only against its midpoint's neighbor ring —
+        # cuts the memory-bound dots matrix by ~|halo|/|ring| (~15×).
+        ring = 2 if mode == "rng" else 1
+        K = np.int64(1 << 32)
+        wkey = (np.floor(W[:, 0] / r_cand).astype(np.int64) * K
+                + np.floor(W[:, 1] / r_cand).astype(np.int64))
+        worder = np.argsort(wkey, kind="stable")
+        wkey_s = wkey[worder]
+        Ws = W[worder]
+        s_w = Ws[:, 0] * Ws[:, 0] + Ws[:, 1] * Ws[:, 1]
+        inv = np.empty(nc, dtype=np.int64)  # witness-array idx → sorted idx
+        inv[worder] = np.arange(nc)
+
+        mx = (W[iu, 0] + W[iv, 0]) / 2.0
+        my = (W[iu, 1] + W[iv, 1]) / 2.0
+        ekey = (np.floor(mx / r_cand).astype(np.int64) * K
+                + np.floor(my / r_cand).astype(np.int64))
+        eorder = np.argsort(ekey, kind="stable")
+        ekey_s = ekey[eorder]
+        iu_s, iv_s, d_s = iu[eorder], iv[eorder], d[eorder]
+        ucell, ustart = np.unique(ekey_s, return_index=True)
+        uend = np.append(ustart[1:], len(ekey_s))
+
+        keep_s = np.ones(len(ekey_s), dtype=bool)
+        offs = [dxo * K + dyo for dxo in range(-ring, ring + 1)
+                for dyo in range(-ring, ring + 1)]
+        thr_all = None
+        if mode == "rng":
+            dij2 = d_s * d_s
+            thr_all = dij2 - _EPS64 * 64.0 * np.maximum(dij2, 1.0)
+        for ci in range(len(ucell)):
+            sl = slice(ustart[ci], uend[ci])
+            # gather the witness ring via binary search on sorted keys
+            lo = np.searchsorted(wkey_s, [ucell[ci] + o for o in offs], "left")
+            hi = np.searchsorted(wkey_s, [ucell[ci] + o + 1 for o in offs], "left")
+            widx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+            if len(widx) == 0:
+                continue
+            Wr, s_r = Ws[widx], s_w[widx]
+            Ue = W[iu_s[sl]]
+            Ve = W[iv_s[sl]]
+            c_e = Ue[:, 0] * Ve[:, 0] + Ue[:, 1] * Ve[:, 1]
+            dots = c_e[:, None] - (Ue + Ve) @ Wr.T + s_r[None, :]
+            # mask endpoint columns by id position, never by rounded value
+            epos = np.searchsorted(widx, inv[iu_s[sl]])
+            in_ring = (epos < len(widx))
+            epos_c = np.clip(epos, 0, len(widx) - 1)
+            hit = in_ring & (widx[epos_c] == inv[iu_s[sl]])
+            rows_idx = np.nonzero(hit)[0]
+            dots[rows_idx, epos_c[hit]] = np.inf
+            epos = np.searchsorted(widx, inv[iv_s[sl]])
+            in_ring = (epos < len(widx))
+            epos_c = np.clip(epos, 0, len(widx) - 1)
+            hit = in_ring & (widx[epos_c] == inv[iv_s[sl]])
+            rows_idx = np.nonzero(hit)[0]
+            dots[rows_idx, epos_c[hit]] = np.inf
+            bad = dots.min(axis=1) < 0.0
+            if mode == "rng":
+                thr = thr_all[sl]
+                du2 = (Ue[:, 0] * Ue[:, 0] + Ue[:, 1] * Ue[:, 1])[:, None] \
+                    - 2.0 * (Ue @ Wr.T) + s_r[None, :]
+                dv2 = (Ve[:, 0] * Ve[:, 0] + Ve[:, 1] * Ve[:, 1])[:, None] \
+                    - 2.0 * (Ve @ Wr.T) + s_r[None, :]
+                du2[np.isinf(dots)] = np.inf   # endpoint mask carries over
+                lune = (du2 < thr[:, None]) & (dv2 < thr[:, None])
+                bad |= lune.any(axis=1)
+            keep_s[sl] = ~bad
+
+        return pd.DataFrame({"u": cid[iu_s[keep_s]],
+                             "v": cid[iv_s[keep_s]],
+                             "weight": d_s[keep_s]})
+
+    return kernel
+
+
+def _empty_region_graph(points: DataFrame, r_cand: float,
+                        cell_size: float | None, mode: str) -> DataFrame:
+    if cell_size is None:
+        # size blocks by density, but never below r_cand (locality proof)
+        cell_size = estimate_knn_cell(points.count(), 8)
+    B = max(float(cell_size), float(r_cand))
+    pts = with_cell(points, cell_size=B)
+    cands = explode_ring(pts, ring=1, cx="cell_cx", cy="cell_cy", out="qcell") \
+        .select("node_id", "x", "y", "cell", "qcell")
+    return (cands.groupBy("qcell")
+            .applyInPandas(_empty_graph_kernel(float(r_cand), B, mode),
+                           "u long, v long, weight double"))
+
+
+def gabriel_graph(points: DataFrame, *, r_cand: float,
+                  cell_size: float | None = None) -> DataFrame:
     """Gabriel graph, radius-bounded variant: among candidate pairs with
-    d(u,v) ≤ r_cand, keep (u,v) iff no witness w has
-    (u−w)·(v−w) < 0 (open diametral disc empty — exactly the reference's
-    einsum test, proximity.py:1071-1078; endpoints never trigger since
-    their dot is 0).
+    d(u,v) ≤ r_cand, keep (u,v) iff no witness w has (u−w)·(v−w) < 0
+    (open diametral disc empty — the reference's einsum test,
+    proximity.py:1071-1078).
 
     Exactness: every Gabriel edge with length ≤ r_cand is found; the bound
     is the distributed candidate-pruning analogue of the reference's
     Delaunay pruning and is the documented contract of this variant (the
     unbounded edge set equals this one whenever the point set has no empty
     disc of diameter > r_cand — true for any density-bounded corpus).
-
-    Implementation: candidates (cell self-join) → witness join on the cells
-    covering each edge's diametral-disc bbox → dot-product violation as a
-    plain column predicate → anti-join.  Zero UDFs.
     """
-    cand = _radius_candidates(points, r_cand)
-    wit_pts = with_cell(points, cell_size=r_cand).select(
-        F.col("node_id").alias("w"), F.col("x").alias("wx"),
-        F.col("y").alias("wy"), F.col("cell").alias("wcell"))
-    mx, my, rad = ((F.col("ux") + F.col("vx")) / 2,
-                   (F.col("uy") + F.col("vy")) / 2, F.col("dist") / 2)
-    probe = explode_cells_in_box(cand, mx - rad, my - rad, mx + rad, my + rad,
-                                 cell_size=r_cand)
-    dot = ((F.col("ux") - F.col("wx")) * (F.col("vx") - F.col("wx"))
-           + (F.col("uy") - F.col("wy")) * (F.col("vy") - F.col("wy")))
-    violated = (probe.join(wit_pts, probe.qcell == wit_pts.wcell)
-                .where(dot < 0).select("u", "v").dropDuplicates())
-    return (cand.join(violated, ["u", "v"], "left_anti")
-                .select("u", "v", F.col("dist").alias("weight")))
+    return _empty_region_graph(points, r_cand, cell_size, "gabriel")
 
 
-def relative_neighborhood_graph(points: DataFrame, *, r_cand: float) -> DataFrame:
+def relative_neighborhood_graph(points: DataFrame, *, r_cand: float,
+                                cell_size: float | None = None) -> DataFrame:
     """Relative-neighborhood graph, radius-bounded variant.  Replicates the
     reference's exact predicate chain (proximity.py:1171-1181): a candidate
     dies if any witness has (u−w)·(v−w) < 0 (disc test) **or** lies in the
     lune — d(u,w)² < thr and d(v,w)² < thr with
     thr = d(u,v)² − eps·max(d(u,v)²,1)·64."""
-    cand = _radius_candidates(points, r_cand)
-    wit_pts = with_cell(points, cell_size=r_cand).select(
-        F.col("node_id").alias("w"), F.col("x").alias("wx"),
-        F.col("y").alias("wy"), F.col("cell").alias("wcell"))
-    # lune ∪ disc ⊂ box [min−d, max+d] on both axes
-    d = F.col("dist")
-    probe = explode_cells_in_box(
-        cand, F.least("ux", "vx") - d, F.least("uy", "vy") - d,
-        F.greatest("ux", "vx") + d, F.greatest("uy", "vy") + d,
-        cell_size=r_cand)
-    dot = ((F.col("ux") - F.col("wx")) * (F.col("vx") - F.col("wx"))
-           + (F.col("uy") - F.col("wy")) * (F.col("vy") - F.col("wy")))
-    dij2 = d * d
-    thr = dij2 - F.lit(_EPS64 * 64.0) * F.greatest(dij2, F.lit(1.0))
-    du2 = ((F.col("ux") - F.col("wx")) * (F.col("ux") - F.col("wx"))
-           + (F.col("uy") - F.col("wy")) * (F.col("uy") - F.col("wy")))
-    dv2 = ((F.col("vx") - F.col("wx")) * (F.col("vx") - F.col("wx"))
-           + (F.col("vy") - F.col("wy")) * (F.col("vy") - F.col("wy")))
-    violated = (probe.join(wit_pts, probe.qcell == wit_pts.wcell)
-                .where((dot < 0) | ((du2 < thr) & (dv2 < thr)))
-                .select("u", "v").dropDuplicates())
-    return (cand.join(violated, ["u", "v"], "left_anti")
-                .select("u", "v", F.col("dist").alias("weight")))
+    return _empty_region_graph(points, r_cand, cell_size, "rng")
 
 
 def waxman_graph(points: DataFrame, beta: float, r0: float, seed: int, *,

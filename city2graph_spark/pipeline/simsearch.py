@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the exact baseline (block matmul of Arrow
+batches against a broadcast build matrix — the distributed pattern for
+"small build side, huge probe side"), plus an LSH-bucketed approximate
+variant for the scale path (build side too big to broadcast ⇒ bucket join).
+
+Both return rank-only rows (qid, nid, rnk): float similarity stays internal
+so results are hash-comparable across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]
+
+
+def cosine_topk(probe: DataFrame, k: int, *, build: DataFrame | None = None,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k of every probe vector against the build set
+    (default: self-join, self excluded).  Build side is collected and
+    broadcast (the ANN equivalent of a broadcast hash join — right whenever
+    the index side fits in executor memory); probes stream through
+    mapInPandas in Arrow batches with one float64 GEMM per batch.
+
+    Ranking ties break by neighbor id ascending.  Returns (qid, nid, rnk).
+    """
+    build = build if build is not None else probe
+    bids, bmat = _collect_matrix(build, id_col, vec_col)
+    bnorm = np.sqrt((bmat * bmat).sum(axis=1))
+    bnorm[bnorm == 0.0] = 1.0
+    spark = probe.sparkSession
+    bc = spark.sparkContext.broadcast((bids, bmat, bnorm))
+
+    def topk_batches(it):
+        import pandas as pd
+        ids_b, mat_b, norm_b = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            qid = pdf[id_col].to_numpy().astype(np.int64)
+            Q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            qn[qn == 0.0] = 1.0
+            sims = (Q @ mat_b.T) / (qn[:, None] * norm_b[None, :])
+            sims[qid[:, None] == ids_b[None, :]] = -np.inf  # exclude self
+            kk = min(k, sims.shape[1] - 1)
+            if kk <= 0:
+                continue
+            m = min(kk + 8, sims.shape[1])
+            part = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+            sel_s = np.take_along_axis(sims, part, axis=1)
+            sel_i = ids_b[part]
+            o1 = np.argsort(sel_i, axis=1, kind="stable")
+            sel_s = np.take_along_axis(sel_s, o1, axis=1)
+            sel_i = np.take_along_axis(sel_i, o1, axis=1)
+            o2 = np.argsort(-sel_s, axis=1, kind="stable")[:, :kk]
+            top_i = np.take_along_axis(sel_i, o2, axis=1)
+            keep = np.isfinite(np.take_along_axis(sel_s, o2, axis=1))
+            rnk = np.broadcast_to(np.arange(1, kk + 1), top_i.shape)
+            qq = np.repeat(qid, kk).reshape(-1, kk)
+            yield pd.DataFrame({"qid": qq[keep], "nid": top_i[keep],
+                                "rnk": rnk[keep].astype(np.int64)})
+
+    return probe.mapInPandas(topk_batches, "qid long, nid long, rnk long")
+
+
+def ann_lsh_candidates(df: DataFrame, *, n_planes: int = 12, seed: int = 42,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int = 64) -> DataFrame:
+    """Approximate-NN candidate pairs via sign-random-projection LSH:
+    vectors sharing the full n_planes-bit signature land in one bucket;
+    pairs come from a bucket self-join — the scale path when the build side
+    cannot be broadcast (candidate verification then runs cosine_topk per
+    bucket or a rerank stage).  Hyperplanes are seeded and deterministic.
+
+    Returns (id_a, id_b, bucket) with id_a < id_b.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    def signatures(it):
+        import pandas as pd
+        pl = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (M @ pl.T) > 0.0
+            sig = np.zeros(len(ids), dtype=np.int64)
+            for b in range(pl.shape[0]):
+                sig |= bits[:, b].astype(np.int64) << b
+            yield pd.DataFrame({"vid": ids, "bucket": sig})
+
+    sigs = df.mapInPandas(signatures, "vid long, bucket long")
+    a = sigs.select(F.col("vid").alias("id_a"), "bucket")
+    b = sigs.select(F.col("vid").alias("id_b"), "bucket")
+    return (a.join(b, "bucket")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "bucket"))
