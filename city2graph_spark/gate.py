@@ -447,6 +447,131 @@ _SQL_QUERIES = {
 }
 
 
+def q_spans_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full interleaved-document stack: wrap the flat table into the spans
+    shape (text + geometry-WKT + media spans), assert the span-sequence
+    invariant, extract points back out of the geometry spans.  The WKT
+    round-trip must be bit-exact — the oracle recomputes the coordinates
+    straight from the LCG."""
+    from .io.documents import extract_points, span_invariant_violations, synth_spans
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = synth_spans(docs)
+    bad = span_invariant_violations(spans, spans).count()
+    if bad:
+        raise AssertionError(f"span invariant violated for {bad} docs")
+    return extract_points(spans).select("node_id", "x", "y")
+
+
+def _spans_extract_oracle() -> str:
+    return f"WITH {POINTS_CTE} SELECT node_id, x, y FROM pts"
+
+
+def _derived_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic street-ish segment set over the derived points: doc i
+    connects to doc (13·i+7) mod n, with exact-duplicate segments for every
+    10th doc (edge_key path)."""
+    pts = derived_points(spark, sf_dir)
+    n = pts.count()
+    a = pts.select(F.col("node_id").alias("_i"), F.col("x").alias("ax"),
+                   F.col("y").alias("ay"))
+    b = pts.select(F.col("node_id").alias("_j"), F.col("x").alias("bx"),
+                   F.col("y").alias("by"))
+    base = (a.join(b, (F.col("_i") * 13 + 7) % F.lit(n) == F.col("_j"))
+            .select((F.col("_i") * 2).alias("seg_id"), "ax", "ay", "bx", "by"))
+    dups = base.where(F.col("seg_id") % 20 == 0) \
+               .select((F.col("seg_id") + 1).alias("seg_id"), "ax", "ay", "bx", "by")
+    return base.unionByName(dups)
+
+
+_SEGMENTS_CTE = """
+nn AS (SELECT COUNT(*) AS c FROM documents),
+base AS (SELECT a.node_id*2 AS seg_id, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+         FROM pts a JOIN pts b ON b.node_id = (a.node_id*13+7) % (SELECT c FROM nn)),
+segs AS (SELECT * FROM base
+         UNION ALL
+         SELECT seg_id+1, ax, ay, bx, by FROM base WHERE seg_id % 20 = 0),
+eps AS (SELECT ax AS x, ay AS y, 0 AS part, seg_id AS ord FROM segs
+        UNION ALL SELECT bx, by, 1, seg_id FROM segs),
+firsts AS (SELECT x, y, MIN(part*1000000000 + ord) AS fk FROM eps GROUP BY x, y),
+nodes AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY fk) - 1 AS node_id FROM firsts),
+ed AS (SELECT s.seg_id, na.node_id AS f, nb.node_id AS t FROM segs s
+       JOIN nodes na ON na.x = s.ax AND na.y = s.ay
+       JOIN nodes nb ON nb.x = s.bx AND nb.y = s.by)
+"""
+
+
+def q_segments_to_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 segments_to_graph (morphology.py:1545-1674): first-appearance node
+    ids, undirected canonical pairs, per-pair edge_key cumcount."""
+    from .operators.topology import segments_to_graph
+    segs = _derived_segments(spark, sf_dir)
+    _, edges = segments_to_graph(segs, seg_id="seg_id", directed=False)
+    return edges.select(F.col("from_node_id").cast("long").alias("from_id"),
+                        F.col("to_node_id").cast("long").alias("to_id"),
+                        F.col("edge_key").cast("long").alias("edge_key"),
+                        F.col("seg_id").cast("long").alias("seg_id"))
+
+
+def _segments_oracle() -> str:
+    return f"""
+WITH {POINTS_CTE}, {_SEGMENTS_CTE},
+canon AS (SELECT seg_id, least(f, t) AS from_id, greatest(f, t) AS to_id FROM ed)
+SELECT CAST(from_id AS BIGINT) AS from_id, CAST(to_id AS BIGINT) AS to_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY from_id, to_id ORDER BY seg_id) - 1
+            AS BIGINT) AS edge_key,
+       CAST(seg_id AS BIGINT) AS seg_id
+FROM canon
+"""
+
+
+def q_dual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 dual graph (topology.py:163-325): dual edge iff two primal edges
+    share a node; canonical pair, distinct."""
+    from .operators.topology import dual_graph, segments_to_graph
+    segs = _derived_segments(spark, sf_dir)
+    _, edges = segments_to_graph(segs, seg_id="seg_id", directed=False)
+    return dual_graph(edges, edge_id="seg_id") \
+        .select(F.col("from_edge").cast("long").alias("from_edge"),
+                F.col("to_edge").cast("long").alias("to_edge"))
+
+
+def _dual_oracle() -> str:
+    return f"""
+WITH {POINTS_CTE}, {_SEGMENTS_CTE},
+incid AS (SELECT DISTINCT seg_id, f AS n FROM ed
+          UNION SELECT DISTINCT seg_id, t FROM ed)
+SELECT CAST(a.seg_id AS BIGINT) AS from_edge, CAST(b.seg_id AS BIGINT) AS to_edge
+FROM incid a JOIN incid b ON a.n = b.n AND a.seg_id < b.seg_id
+GROUP BY a.seg_id, b.seg_id
+"""
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 connected components (topology.py:775-825) of the fixed-radius
+    graph: iterative min-label propagation vs a recursive-CTE oracle."""
+    from .operators.topology import connected_components
+    pts = derived_points(spark, sf_dir)
+    edges = fixed_radius_graph(pts, RADIUS)
+    cc = connected_components(edges, nodes=pts.select("node_id"))
+    return cc.select(F.col("node").cast("long").alias("node"),
+                     F.col("component").cast("long").alias("component"))
+
+
+def _cc_oracle() -> str:
+    return f"""
+WITH RECURSIVE {POINTS_CTE},
+e0 AS (SELECT a.node_id AS u, b.node_id AS v FROM pts a, pts b
+       WHERE a.node_id < b.node_id
+         AND sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) <= {RADIUS}),
+ed AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+reach(node, label) AS (
+  SELECT node_id, node_id FROM pts
+  UNION
+  SELECT ed.v, reach.label FROM reach JOIN ed ON ed.u = reach.node)
+SELECT node, MIN(label) AS component FROM reach GROUP BY node
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.simsearch import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -468,6 +593,10 @@ _SPATIAL_QUERIES = {
     "waxman_graph": (q_waxman, _waxman_oracle),
     "embedding_topk": (q_embedding_topk, lambda: sql_embedding_topk("duckdb")),
     "ann_lsh": (q_ann_lsh, None),
+    "spans_extract": (q_spans_extract, _spans_extract_oracle),
+    "segments_to_graph": (q_segments_to_graph, _segments_oracle),
+    "dual_graph": (q_dual_graph, _dual_oracle),
+    "connected_components": (q_connected_components, _cc_oracle),
 }
 
 

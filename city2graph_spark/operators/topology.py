@@ -1,0 +1,178 @@
+"""Graph-topology utilities (SURVEY.md §2.4) + street-graph constructors
+(M3 segments_to_graph, M4 dual_graph) as pure DataFrame transformations.
+
+Reference semantics:
+- canonicalize_edges — /root/reference/city2graph/utils/topology.py:328-471
+- symmetrize_edges   — topology.py:474-568
+- dual_graph         — topology.py:163-325 (pairs via shared-node adjacency)
+- segments_to_graph  — /root/reference/city2graph/morphology.py:1545-1674
+  (node ids sequential in first-appearance order of deduped endpoint coords:
+  all start coords in row order, then all end coords; edge_key = per-pair
+  cumcount in row order; undirected canonicalises to (min,max))
+- remove_isolated_components / connected components — topology.py:775-825
+
+Scale notes: everything here is equi-joins + window functions.  The one
+global ordering (first-appearance node ids) is a deliberate determinism
+cost paid only on street-network-sized inputs; connected components is the
+classic iterative min-label propagation (label count halves per round,
+O(log n) rounds), with each round a shuffle on node id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def canonicalize_edges(edges: DataFrame, src: str = "src", dst: str = "dst",
+                       *, duplicates: str = "first") -> DataFrame:
+    """Reorder (src,dst) to the unordered canonical pair (topology.py:423-431).
+
+    duplicates='first' keeps one row per pair; 'key' keeps all rows adding a
+    per-pair ``edge_key`` (cumcount); 'keep' keeps all rows unchanged.
+    """
+    out = edges.withColumn("_s", F.least(src, dst)) \
+               .withColumn("_d", F.greatest(src, dst)) \
+               .drop(src, dst) \
+               .withColumnRenamed("_s", src).withColumnRenamed("_d", dst)
+    if duplicates == "first":
+        return out.dropDuplicates([src, dst])
+    if duplicates == "key":
+        w = Window.partitionBy(src, dst).orderBy(F.lit(1))
+        return out.withColumn("edge_key", F.row_number().over(w) - 1)
+    return out
+
+
+def symmetrize_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Append the reverse row (v,u) for every non-self-loop edge whose
+    reverse is absent; idempotent (topology.py:547-568)."""
+    fwd = edges
+    rev = edges.where(F.col(src) != F.col(dst))
+    swapped = rev.withColumn("_t", F.col(src)) \
+                 .withColumn(src, F.col(dst)) \
+                 .withColumn(dst, F.col("_t")).drop("_t")
+    missing = swapped.join(fwd.select(F.col(src).alias("_a"), F.col(dst).alias("_b")),
+                           (F.col(src) == F.col("_a")) & (F.col(dst) == F.col("_b")),
+                           "left_anti")
+    return fwd.unionByName(missing)
+
+
+def segments_to_graph(segments: DataFrame, *, seg_id: str = "seg_id",
+                      order_col: str | None = None,
+                      directed: bool = True,
+                      multigraph: bool = True) -> tuple[DataFrame, DataFrame]:
+    """LineString segments → (nodes, edges) with the reference's exact
+    node-id contract (morphology.py:1741-1757): node ids are sequential in
+    first-appearance order over the concatenation [all start coords in row
+    order] + [all end coords in row order], deduplicated keeping first.
+
+    ``segments`` needs columns (seg_id, ax, ay, bx, by); ``order_col``
+    defines row order (defaults to seg_id).
+
+    Returns (nodes(node_id, x, y), edges(from_node_id, to_node_id
+    [, edge_key], <seg cols>)).
+    """
+    order_col = order_col or seg_id
+    starts = segments.select(F.col("ax").alias("x"), F.col("ay").alias("y"),
+                             F.lit(0).alias("_part"), F.col(order_col).alias("_ord"))
+    ends = segments.select(F.col("bx").alias("x"), F.col("by").alias("y"),
+                           F.lit(1).alias("_part"), F.col(order_col).alias("_ord"))
+    appearance = starts.unionByName(ends) \
+        .groupBy("x", "y") \
+        .agg(F.min(F.struct("_part", "_ord")).alias("_first"))
+    w = Window.orderBy(F.col("_first._part"), F.col("_first._ord"))
+    nodes = appearance.withColumn("node_id", F.row_number().over(w) - 1) \
+                      .select("node_id", "x", "y")
+
+    e = segments \
+        .join(nodes.select(F.col("node_id").alias("_from"),
+                           F.col("x").alias("ax"), F.col("y").alias("ay")),
+              ["ax", "ay"]) \
+        .join(nodes.select(F.col("node_id").alias("_to"),
+                           F.col("x").alias("bx"), F.col("y").alias("by")),
+              ["bx", "by"])
+    if not directed:
+        e = e.withColumn("_f2", F.least("_from", "_to")) \
+             .withColumn("_t2", F.greatest("_from", "_to")) \
+             .drop("_from", "_to") \
+             .withColumnRenamed("_f2", "_from").withColumnRenamed("_t2", "_to")
+    e = e.withColumnRenamed("_from", "from_node_id") \
+         .withColumnRenamed("_to", "to_node_id")
+    if multigraph:
+        wk = Window.partitionBy("from_node_id", "to_node_id").orderBy(order_col)
+        e = e.withColumn("edge_key", F.row_number().over(wk) - 1)
+    return nodes, e
+
+
+def dual_graph(edges: DataFrame, edge_id: str = "edge_id",
+               src: str = "from_node_id", dst: str = "to_node_id") -> DataFrame:
+    """Primal edges → dual edge pairs: (e1,e2) iff the primal edges share a
+    node; canonical (smaller id first), distinct (topology.py:117-132).
+    The textbook shared-key self-join."""
+    inc = edges.select(F.col(edge_id).alias("_e"), F.col(src).alias("_n")) \
+        .unionByName(edges.select(F.col(edge_id).alias("_e"),
+                                  F.col(dst).alias("_n"))) \
+        .dropDuplicates()
+    a = inc.select(F.col("_n"), F.col("_e").alias("from_edge"))
+    b = inc.select(F.col("_n"), F.col("_e").alias("to_edge"))
+    return (a.join(b, "_n")
+            .where(F.col("from_edge") < F.col("to_edge"))
+            .select("from_edge", "to_edge")
+            .dropDuplicates())
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
+                         src: str = "src", dst: str = "dst",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation: each round
+    every node takes the min label among itself and its neighbors; converges
+    in O(diameter) rounds (classic large-star/small-star simplification).
+
+    Returns (node, component) where component = min node id in the component.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))) \
+        .where(F.col("a") != F.col("b")).dropDuplicates().persist()
+    if nodes is not None:
+        base = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    else:
+        base = sym.select(F.col("a").alias("node")).dropDuplicates()
+    # localCheckpoint every round: iterative plans otherwise grow an
+    # exponentially deep lineage (plan-string OOM long before data does).
+    # On a real cluster this is the Iceberg-snapshot checkpoint site.
+    labels = base.withColumn("component", F.col("node")).localCheckpoint()
+    for _ in range(max_iter):
+        # neighbor-min step (small-star)
+        nbr_min = (sym.join(labels, sym.b == labels.node)
+                   .groupBy("a").agg(F.min("component").alias("_nb")))
+        stepped = (labels.join(nbr_min, labels.node == nbr_min.a, "left")
+                   .select("node",
+                           F.least("component",
+                                   F.coalesce("_nb", F.col("component")))
+                           .alias("component")))
+        # pointer-jumping step (large-star): component ← component's component
+        hop = stepped.select(F.col("node").alias("_n2"),
+                             F.col("component").alias("_c2"))
+        new_labels = (stepped.join(hop, stepped.component == hop._n2, "left")
+                      .select("node", F.coalesce("_c2", F.col("component"))
+                              .alias("component"))).localCheckpoint()
+        changed = (new_labels.join(labels.withColumnRenamed("component", "_old"),
+                                   "node")
+                   .where(F.col("component") != F.col("_old")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def remove_isolated_components(edges: DataFrame, src: str = "src",
+                               dst: str = "dst") -> DataFrame:
+    """Keep only edges of the largest (weakly) connected component
+    (topology.py:810-821); ties break to the smallest component label."""
+    cc = connected_components(edges, src=src, dst=dst)
+    top = (cc.groupBy("component").count()
+           .orderBy(F.col("count").desc(), F.col("component").asc()).limit(1))
+    keep = cc.join(top.select("component"), "component", "left_semi") \
+             .select(F.col("node"))
+    return edges.join(keep.withColumnRenamed("node", src), src, "left_semi")

@@ -76,7 +76,7 @@ def cosine_topk(probe: DataFrame, k: int, *, build: DataFrame | None = None,
 
 def ann_lsh_candidates(df: DataFrame, *, n_planes: int = 12, seed: int = 42,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       dim: int = 64) -> DataFrame:
+                       dim: int | None = None) -> DataFrame:
     """Approximate-NN candidate pairs via sign-random-projection LSH:
     vectors sharing the full n_planes-bit signature land in one bucket;
     pairs come from a bucket self-join — the scale path when the build side
@@ -85,6 +85,9 @@ def ann_lsh_candidates(df: DataFrame, *, n_planes: int = 12, seed: int = 42,
 
     Returns (id_a, id_b, bucket) with id_a < id_b.
     """
+    if dim is None:
+        head = df.select(vec_col).head()
+        dim = len(head[0]) if head else 1
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
     spark = df.sparkSession
