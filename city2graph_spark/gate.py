@@ -572,6 +572,83 @@ SELECT node, MIN(label) AS component FROM reach GROUP BY node
 """
 
 
+def _zone_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5×5 grid of 1000m rectangle zones derived from the nation table
+    (poly_id = n_nationkey, col = key%5, row = key div 5) as an exploded
+    closed-ring vertex table."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    z = nat.select(F.col("n_nationkey").cast("long").alias("poly_id"),
+                   ((F.col("n_nationkey") % 5) * 1000.0).alias("x0"),
+                   ((F.col("n_nationkey").cast("long") / F.lit(5)).cast("long")
+                    * 1000.0).alias("y0"))
+    corners = F.array(
+        F.struct(F.lit(0).alias("seq"), F.col("x0").alias("x"), F.col("y0").alias("y")),
+        F.struct(F.lit(1).alias("seq"), (F.col("x0") + 1000.0).alias("x"), F.col("y0").alias("y")),
+        F.struct(F.lit(2).alias("seq"), (F.col("x0") + 1000.0).alias("x"), (F.col("y0") + 1000.0).alias("y")),
+        F.struct(F.lit(3).alias("seq"), F.col("x0").alias("x"), (F.col("y0") + 1000.0).alias("y")),
+        F.struct(F.lit(4).alias("seq"), F.col("x0").alias("x"), F.col("y0").alias("y")))
+    return (z.select("poly_id", F.explode(corners).alias("v"))
+            .select("poly_id", F.lit(0).alias("ring"),
+                    F.col("v.seq").alias("seq"), F.col("v.x").alias("x"),
+                    F.col("v.y").alias("y")))
+
+
+def q_group_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 group_nodes (proximity.py:1830-1965): boundary-inclusive PIP join
+    of derived points into zone polygons; weight = centroid→point distance."""
+    from .operators.polygons import group_nodes
+    verts = _zone_vertices(spark, sf_dir)
+    pts = derived_points(spark, sf_dir)
+    e = group_nodes(verts, pts)
+    return e.select("poly_id", "node_id",
+                    F.floor(F.col("weight") * 10000).cast("long").alias("weight_q"))
+
+
+def _group_nodes_oracle() -> str:
+    return f"""
+WITH {POINTS_CTE},
+zones AS (SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+                 (n_nationkey % 5) * 1000.0 AS x0,
+                 (n_nationkey // 5) * 1000.0 AS y0 FROM nation)
+SELECT z.poly_id, p.node_id,
+       CAST(floor(sqrt((z.x0+500.0-p.x)*(z.x0+500.0-p.x)
+                      +(z.y0+500.0-p.y)*(z.y0+500.0-p.y))*10000) AS BIGINT)
+            AS weight_q
+FROM zones z JOIN pts p
+  ON p.x >= z.x0 AND p.x <= z.x0 + 1000.0
+ AND p.y >= z.y0 AND p.y <= z.y0 + 1000.0
+"""
+
+
+def _q_contiguity(kind: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.polygons import contiguity_graph
+        verts = _zone_vertices(spark, sf_dir)
+        e = contiguity_graph(verts, contiguity=kind)
+        return e.select("src", "dst",
+                        F.floor(F.col("weight") * 10000).cast("long")
+                        .alias("weight_q"))
+    return run
+
+
+def _contiguity_oracle(kind: str) -> str:
+    pred = ("abs(a.n_nationkey % 5 - b.n_nationkey % 5) <= 1 AND "
+            "abs(a.n_nationkey // 5 - b.n_nationkey // 5) <= 1"
+            if kind == "queen" else
+            "abs(a.n_nationkey % 5 - b.n_nationkey % 5) + "
+            "abs(a.n_nationkey // 5 - b.n_nationkey // 5) = 1")
+    return f"""
+WITH c AS (SELECT n_nationkey AS id,
+                  (n_nationkey % 5) * 1000.0 + 500.0 AS cx,
+                  (n_nationkey // 5) * 1000.0 + 500.0 AS cy FROM nation)
+SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst,
+       CAST(floor(sqrt((ca.cx-cb.cx)*(ca.cx-cb.cx)+(ca.cy-cb.cy)*(ca.cy-cb.cy))
+                  *10000) AS BIGINT) AS weight_q
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND {pred}
+JOIN c ca ON ca.id = a.n_nationkey JOIN c cb ON cb.id = b.n_nationkey
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.simsearch import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -597,6 +674,11 @@ _SPATIAL_QUERIES = {
     "segments_to_graph": (q_segments_to_graph, _segments_oracle),
     "dual_graph": (q_dual_graph, _dual_oracle),
     "connected_components": (q_connected_components, _cc_oracle),
+    "group_nodes_pip": (q_group_nodes, _group_nodes_oracle),
+    "contiguity_queen": (_q_contiguity("queen"),
+                         lambda: _contiguity_oracle("queen")),
+    "contiguity_rook": (_q_contiguity("rook"),
+                        lambda: _contiguity_oracle("rook")),
 }
 
 

@@ -1,0 +1,95 @@
+"""Pure-numpy planar geometry kernels (no shapely in this sandbox).
+
+Everything operates on float64 arrays and is exact for the predicates the
+operators need: boundary-inclusive point-in-polygon (covered_by), shoelace
+area/centroid, point-to-segment distance/projection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def shoelace_area_centroid(vx: np.ndarray, vy: np.ndarray) -> tuple[float, float, float]:
+    """Signed area + area centroid of a closed ring (first vertex may or may
+    not be repeated at the end — handled).  Degenerate (zero-area) rings
+    fall back to the vertex mean, like shapely's centroid of a point/line."""
+    if len(vx) > 1 and vx[0] == vx[-1] and vy[0] == vy[-1]:
+        vx, vy = vx[:-1], vy[:-1]
+    x1, y1 = vx, vy
+    x2, y2 = np.roll(vx, -1), np.roll(vy, -1)
+    cross = x1 * y2 - x2 * y1
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        return 0.0, float(vx.mean()), float(vy.mean())
+    cx = ((x1 + x2) * cross).sum() / (6.0 * a)
+    cy = ((y1 + y2) * cross).sum() / (6.0 * a)
+    return float(a), float(cx), float(cy)
+
+
+def points_covered_by_ring(px: np.ndarray, py: np.ndarray,
+                           vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
+    """Boundary-inclusive point-in-ring test (gpd ``covered_by`` semantics,
+    reference proximity.py:2579-2595), vectorized over points.
+
+    Crossing-number for strict interior + exact on-segment test for the
+    boundary (collinearity via cross product == 0 within the segment bbox —
+    exact for axis-aligned and lattice edges in float64).
+    """
+    if len(vx) > 1 and vx[0] == vx[-1] and vy[0] == vy[-1]:
+        vx, vy = vx[:-1], vy[:-1]
+    n = len(vx)
+    inside = np.zeros(len(px), dtype=bool)
+    on_edge = np.zeros(len(px), dtype=bool)
+    x1, y1 = vx, vy
+    x2, y2 = np.roll(vx, -1), np.roll(vy, -1)
+    for i in range(n):
+        ax, ay, bx, by = x1[i], y1[i], x2[i], y2[i]
+        # boundary: collinear and within bbox
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        within = ((px >= min(ax, bx)) & (px <= max(ax, bx))
+                  & (py >= min(ay, by)) & (py <= max(ay, by)))
+        on_edge |= (cross == 0.0) & within
+        # crossing number (half-open rule avoids double-counting vertices)
+        cond = (ay > py) != (by > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = ax + (py - ay) * (bx - ax) / (by - ay)
+        inside ^= cond & (px < xint)
+    return inside | on_edge
+
+
+def points_within_ring(px: np.ndarray, py: np.ndarray,
+                       vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
+    """Strict interior (gpd ``within`` when boundary points excluded)."""
+    if len(vx) > 1 and vx[0] == vx[-1] and vy[0] == vy[-1]:
+        vx, vy = vx[:-1], vy[:-1]
+    inside = np.zeros(len(px), dtype=bool)
+    on_edge = np.zeros(len(px), dtype=bool)
+    x1, y1 = vx, vy
+    x2, y2 = np.roll(vx, -1), np.roll(vy, -1)
+    for i in range(len(vx)):
+        ax, ay, bx, by = x1[i], y1[i], x2[i], y2[i]
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        within = ((px >= min(ax, bx)) & (px <= max(ax, bx))
+                  & (py >= min(ay, by)) & (py <= max(ay, by)))
+        on_edge |= (cross == 0.0) & within
+        cond = (ay > py) != (by > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = ax + (py - ay) * (bx - ax) / (by - ay)
+        inside ^= cond & (px < xint)
+    return inside & ~on_edge
+
+
+def point_segment_distance(px: np.ndarray, py: np.ndarray,
+                           ax: np.ndarray, ay: np.ndarray,
+                           bx: np.ndarray, by: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Distance from points to segments (row-wise) + projection parameter
+    t ∈ [0,1] along the segment (shapely ``line_locate_point`` analogue)."""
+    dx, dy = bx - ax, by - ay
+    ll = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - ax) * dx + (py - ay) * dy) / ll
+    t = np.clip(np.where(ll == 0.0, 0.0, t), 0.0, 1.0)
+    qx, qy = ax + t * dx, ay + t * dy
+    return np.sqrt((px - qx) ** 2 + (py - qy) ** 2), t
