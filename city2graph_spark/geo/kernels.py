@@ -93,3 +93,33 @@ def point_segment_distance(px: np.ndarray, py: np.ndarray,
     t = np.clip(np.where(ll == 0.0, 0.0, t), 0.0, 1.0)
     qx, qy = ax + t * dx, ay + t * dy
     return np.sqrt((px - qx) ** 2 + (py - qy) ** 2), t
+
+
+def segment_segment_distance(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    """Row-wise min distance between segment pairs (0 when they intersect).
+    All args are equal-length float64 arrays."""
+    def orient(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    d1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    d3 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    d4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    proper = ((d1 * d2) < 0) & ((d3 * d4) < 0)
+
+    def on_seg(ox, oy, px, py, qx, qy, d):
+        return (d == 0) & (qx >= np.minimum(ox, px)) & (qx <= np.maximum(ox, px)) \
+            & (qy >= np.minimum(oy, py)) & (qy <= np.maximum(oy, py))
+
+    touch = (on_seg(ax1, ay1, ax2, ay2, bx1, by1, d1)
+             | on_seg(ax1, ay1, ax2, ay2, bx2, by2, d2)
+             | on_seg(bx1, by1, bx2, by2, ax1, ay1, d3)
+             | on_seg(bx1, by1, bx2, by2, ax2, ay2, d4))
+    inter = proper | touch
+
+    da1, _ = point_segment_distance(ax1, ay1, bx1, by1, bx2, by2)
+    da2, _ = point_segment_distance(ax2, ay2, bx1, by1, bx2, by2)
+    db1, _ = point_segment_distance(bx1, by1, ax1, ay1, ax2, ay2)
+    db2, _ = point_segment_distance(bx2, by2, ax1, ay1, ax2, ay2)
+    d = np.minimum(np.minimum(da1, da2), np.minimum(db1, db2))
+    return np.where(inter, 0.0, d)

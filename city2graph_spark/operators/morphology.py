@@ -1,0 +1,431 @@
+"""Morphology operators (SURVEY.md §2.3): the place/movement graph family
+and the morphological_graph DAG.
+
+Reference: /root/reference/city2graph/morphology.py —
+- M6 place_to_place_graph (891-1109): queen contiguity over place polygons
+  keyed by place_id, optional group filter (edge kept only when both ends
+  share the group value, 1093-1105)
+- M7 place_to_movement_graph (1117-1419): dwithin join (sindex query,
+  1299-1303) + nearest-fallback for unmatched places capped by
+  max_connection_distance (1336-1419); edge geometry centroid↔centroid
+- M8 movement_to_movement_graph (1427-1537): dual graph of
+  segments_to_graph(movement)
+- M9 reachability field (2916-2997): center snapped onto nearest EDGE, a
+  temp node wired to both endpoints with access+along / access+(len−along)
+- M10 _reachable_within_caps (3212-3279): point kept iff ∃ edge with
+  perpendicular access ≤ extent_buffer and network cost ≤ max_distance
+- M11 _segments_within_network_distance (3306-3393): min endpoint cost
+- M13 isolated-place pruning (2448-2461)
+- M14 fallback tessellation (2109-2140): building footprints become cells
+
+Round-1 tessellation mode: the DAG runs on the reference's own fallback
+tessellation (M14 — buildings as cells, an exact reference code path); the
+momepy-equivalent enclosed Voronoi (M5) is the flagged next milestone.
+
+Shapes: movement networks are polyline vertex tables
+(movement_id, seq, x, y); places are polygon vertex tables (poly_id, ring,
+seq, x, y).  Street-graph costs ride on a broadcast dict (nets are small
+next to the document table, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..index import explode_cells_in_box, with_cell
+from .net import BroadcastGraph
+from .polygons import contiguity_graph, polygon_centroids
+from .topology import dual_graph, segments_to_graph
+
+
+# --------------------------------------------------------------------------
+# polyline helpers
+# --------------------------------------------------------------------------
+
+def polyline_endpoints(mv: DataFrame) -> DataFrame:
+    """(seg_id, ax, ay, bx, by): first/last vertex per movement polyline
+    (base.py:741-784 start/end coord extraction)."""
+    w = Window.partitionBy("movement_id")
+    pick = (mv
+            .withColumn("_min", F.min("seq").over(w))
+            .withColumn("_max", F.max("seq").over(w)))
+    a = pick.where(F.col("seq") == F.col("_min")) \
+        .select(F.col("movement_id").alias("seg_id"),
+                F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = pick.where(F.col("seq") == F.col("_max")) \
+        .select(F.col("movement_id").alias("seg_id"),
+                F.col("x").alias("bx"), F.col("y").alias("by"))
+    return a.join(b, "seg_id")
+
+
+def polyline_parts(mv: DataFrame) -> DataFrame:
+    """(movement_id, part, ax, ay, bx, by, part_len, prefix_len, total_len):
+    consecutive-vertex segments with along-path prefix lengths."""
+    w = Window.partitionBy("movement_id").orderBy("seq")
+    parts = (mv
+             .withColumn("bx", F.lead("x").over(w))
+             .withColumn("by", F.lead("y").over(w))
+             .where(F.col("bx").isNotNull())
+             .select("movement_id",
+                     (F.row_number().over(w) - 1).alias("part"),
+                     F.col("x").alias("ax"), F.col("y").alias("ay"),
+                     "bx", "by"))
+    plen = F.sqrt((F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+                  + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay")))
+    parts = parts.withColumn("part_len", plen)
+    w2 = Window.partitionBy("movement_id").orderBy("part")
+    return (parts
+            .withColumn("prefix_len",
+                        F.coalesce(F.sum("part_len").over(
+                            w2.rowsBetween(Window.unboundedPreceding, -1)),
+                            F.lit(0.0)))
+            .withColumn("total_len",
+                        F.sum("part_len").over(
+                            Window.partitionBy("movement_id"))))
+
+
+def street_graph(mv: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Movement polylines → (nodes, edges) with length weights: the
+    reference's `segments_to_graph(segments)` street graph (M3 over
+    movement geometry, interior vertices are not nodes)."""
+    eps = polyline_endpoints(mv)
+    lens = polyline_parts(mv).groupBy("movement_id") \
+        .agg(F.sum("part_len").alias("length"))
+    nodes, edges = segments_to_graph(eps, seg_id="seg_id", directed=False)
+    edges = edges.join(lens.withColumnRenamed("movement_id", "seg_id"), "seg_id")
+    return nodes, edges
+
+
+# --------------------------------------------------------------------------
+# M8 / M6
+# --------------------------------------------------------------------------
+
+def movement_to_movement_graph(mv: DataFrame) -> DataFrame:
+    """M8 'connected_to': dual graph of the movement street graph, index
+    renamed from_movement_id/to_movement_id (morphology.py:1517-1529)."""
+    eps = polyline_endpoints(mv)
+    _, edges = segments_to_graph(eps, seg_id="seg_id", directed=False)
+    d = dual_graph(edges, edge_id="seg_id")
+    return d.select(F.col("from_edge").alias("from_movement_id"),
+                    F.col("to_edge").alias("to_movement_id"))
+
+
+def place_to_place_graph(place_verts: DataFrame,
+                         groups: DataFrame | None = None, *,
+                         contiguity: str = "queen") -> DataFrame:
+    """M6 'touched_to': queen/rook contiguity over place polygons; when a
+    group table (poly_id, group) is given, keep an edge only if both ends
+    share the group value (morphology.py:1093-1105)."""
+    e = contiguity_graph(place_verts, contiguity=contiguity)
+    if groups is None:
+        return e
+    gs = groups.select(F.col("poly_id").alias("src"), F.col("group").alias("_gs"))
+    gt = groups.select(F.col("poly_id").alias("dst"), F.col("group").alias("_gt"))
+    return (e.join(gs, "src").join(gt, "dst")
+            .where(F.col("_gs") == F.col("_gt"))
+            .select("src", "dst", "weight"))
+
+
+# --------------------------------------------------------------------------
+# M7
+# --------------------------------------------------------------------------
+
+def place_to_movement_graph(place_verts: DataFrame, mv: DataFrame, *,
+                            tolerance: float = 1e-6,
+                            max_connection_distance: float = float("inf"),
+                            cell_size: float | None = None) -> DataFrame:
+    """M7 'faced_to': place–movement dwithin(tolerance) join with a
+    nearest-fallback (1 edge to the closest movement, capped by
+    max_connection_distance) for unmatched places.
+
+    Plan: part-bbox × place-bbox cell join → exact polygon-edge↔part
+    segment distance (plus interior containment) in a vectorized pandas
+    pass → threshold; fallback = broadcast movement parts against the few
+    unmatched places.  Weight = centroid↔centroid distance
+    (morphology.py:3461-3478).
+    """
+    parts = polyline_parts(mv).persist()
+    ext = place_verts.where(F.col("ring") == 0)
+    w = Window.partitionBy("poly_id", "ring").orderBy("seq")
+    pedges = (ext
+              .withColumn("x2", F.lead("x").over(w))
+              .withColumn("y2", F.lead("y").over(w))
+              .where(F.col("x2").isNotNull()))
+    pbbox = pedges.groupBy("poly_id").agg(
+        F.min(F.least("x", "x2")).alias("xmin"),
+        F.min(F.least("y", "y2")).alias("ymin"),
+        F.max(F.greatest("x", "x2")).alias("xmax"),
+        F.max(F.greatest("y", "y2")).alias("ymax"))
+    if cell_size is None:
+        row = pbbox.agg(F.avg(F.col("xmax") - F.col("xmin")).alias("w")).head()
+        cell_size = max(float(row["w"] or 1.0) * 2.0, 1e-9)
+
+    tol = float(tolerance)
+    cover = explode_cells_in_box(
+        pbbox, F.col("xmin") - tol, F.col("ymin") - tol,
+        F.col("xmax") + tol, F.col("ymax") + tol,
+        cell_size=cell_size).select("poly_id", "qcell")
+    mid = parts.withColumn("x", (F.col("ax") + F.col("bx")) / 2) \
+               .withColumn("y", (F.col("ay") + F.col("by")) / 2)
+    half = parts.select(
+        F.max(F.sqrt((F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+                     + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay")))
+              / 2).alias("h")).head()["h"] or 0.0
+    # part midpoints bucketed; ring widened by the longest half-part
+    import math
+    ring = max(1, math.ceil((half + tol) / cell_size) + 1)
+    mparts = with_cell(mid, cell_size=cell_size)
+    from ..index import explode_ring
+    mhalo = explode_ring(mparts, ring=ring).select(
+        "movement_id", "part", "ax", "ay", "bx", "by", "qcell")
+
+    cand = cover.join(mhalo, "qcell") \
+        .select("poly_id", "movement_id", "ax", "ay", "bx", "by").dropDuplicates()
+
+    vlist = pedges.groupBy("poly_id").agg(
+        F.sort_array(F.collect_list(F.struct("seq", "x", "y", "x2", "y2")))
+         .alias("_pe"))
+    cand = cand.join(vlist, "poly_id")
+
+    def refine(it):
+        import numpy as np
+        import pandas as pd
+        from ..geo.kernels import points_covered_by_ring, segment_segment_distance
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for pid, grp in pdf.groupby("poly_id", sort=False):
+                pe = grp["_pe"].iloc[0]
+                ex1 = np.array([e["x"] for e in pe])
+                ey1 = np.array([e["y"] for e in pe])
+                ex2 = np.array([e["x2"] for e in pe])
+                ey2 = np.array([e["y2"] for e in pe])
+                ring_x = np.append(ex1, ex1[0])
+                ring_y = np.append(ey1, ey1[0])
+                ax = grp["ax"].to_numpy(); ay = grp["ay"].to_numpy()
+                bx = grp["bx"].to_numpy(); by = grp["by"].to_numpy()
+                n_e, n_c = len(ex1), len(ax)
+                dmin = np.full(n_c, np.inf)
+                for i in range(n_e):
+                    d = segment_segment_distance(
+                        np.full(n_c, ex1[i]), np.full(n_c, ey1[i]),
+                        np.full(n_c, ex2[i]), np.full(n_c, ey2[i]),
+                        ax, ay, bx, by)
+                    dmin = np.minimum(dmin, d)
+                inside = points_covered_by_ring(ax, ay, ring_x, ring_y)
+                dmin = np.where(inside, 0.0, dmin)
+                rows.append(pd.DataFrame({
+                    "poly_id": pid, "movement_id": grp["movement_id"].to_numpy(),
+                    "dist": dmin}))
+            if rows:
+                yield pd.concat(rows)
+
+    dists = cand.mapInPandas(refine, "poly_id long, movement_id long, dist double")
+    dists = dists.groupBy("poly_id", "movement_id").agg(F.min("dist").alias("dist"))
+    matched = dists.where(F.col("dist") <= tol).persist()
+
+    # nearest fallback for unmatched places (morphology.py:1336-1419)
+    unmatched = (place_verts.select("poly_id").dropDuplicates()
+                 .join(matched.select("poly_id"), "poly_id", "left_anti"))
+    fb = (dists.join(unmatched, "poly_id", "left_semi")
+          .withColumn("_rn", F.row_number().over(
+              Window.partitionBy("poly_id")
+              .orderBy(F.col("dist").asc(), F.col("movement_id").asc())))
+          .where((F.col("_rn") == 1)
+                 & (F.col("dist") <= F.lit(float(max_connection_distance))))
+          .select("poly_id", "movement_id", "dist"))
+
+    pairs = matched.select("poly_id", "movement_id") \
+        .unionByName(fb.select("poly_id", "movement_id"))
+
+    # weight = place-centroid ↔ movement-centroid distance
+    pc = polygon_centroids(place_verts)
+    mc = (polyline_parts(mv)
+          .withColumn("_wx", (F.col("ax") + F.col("bx")) / 2 * F.col("part_len"))
+          .withColumn("_wy", (F.col("ay") + F.col("by")) / 2 * F.col("part_len"))
+          .groupBy("movement_id")
+          .agg((F.sum("_wx") / F.sum("part_len")).alias("mx"),
+               (F.sum("_wy") / F.sum("part_len")).alias("my")))
+    return (pairs.join(pc, "poly_id").join(mc, "movement_id")
+            .select("poly_id", "movement_id",
+                    F.sqrt((F.col("cx") - F.col("mx")) * (F.col("cx") - F.col("mx"))
+                           + (F.col("cy") - F.col("my")) * (F.col("cy") - F.col("my")))
+                    .alias("weight")))
+
+
+# --------------------------------------------------------------------------
+# M9/M10/M11 reachability
+# --------------------------------------------------------------------------
+
+def reachability_field(mv: DataFrame, center_xy: tuple[float, float]
+                       ) -> tuple[dict, DataFrame, DataFrame]:
+    """M9: snap the center onto the nearest movement part (not node!), wire a
+    temp source to the movement's two endpoint nodes with costs
+    access+along / access+(len−along) (morphology.py:3200-3209), then one
+    Dijkstra.  Returns (node→cost dict, street nodes df, street edges df)."""
+    import numpy as np
+    nodes, edges = street_graph(mv)
+    parts = polyline_parts(mv).collect()
+    if not parts:
+        return {}, nodes, edges
+    ax = np.array([r["ax"] for r in parts]); ay = np.array([r["ay"] for r in parts])
+    bx = np.array([r["bx"] for r in parts]); by = np.array([r["by"] for r in parts])
+    from ..geo.kernels import point_segment_distance
+    px = np.full(len(ax), center_xy[0]); py = np.full(len(ax), center_xy[1])
+    d, t = point_segment_distance(px, py, ax, ay, bx, by)
+    best = int(np.argmin(d))
+    access = float(d[best])
+    along = float(parts[best]["prefix_len"]
+                  + t[best] * parts[best]["part_len"])
+    mv_id = parts[best]["movement_id"]
+    erow = edges.where(F.col("seg_id") == mv_id) \
+        .select("from_node_id", "to_node_id", "length").head()
+    g = BroadcastGraph.from_df(
+        edges, src="from_node_id", dst="to_node_id", weight="length")
+    source = -1  # temp center node; street node ids are 0..n-1 (heap-safe int)
+    g.adj[source].append((erow["from_node_id"], access + along))
+    g.adj[source].append((erow["to_node_id"],
+                          access + (float(erow["length"]) - along)))
+    g.adj[erow["from_node_id"]].append((source, access + along))
+    g.adj[erow["to_node_id"]].append(
+        (source, access + (float(erow["length"]) - along)))
+    costs = g.sssp([source])
+    costs.pop(source, None)
+    return costs, nodes, edges
+
+
+def segments_within_network_distance(mv: DataFrame, costs: dict,
+                                     max_distance: float) -> DataFrame:
+    """M11: movement kept iff min(endpoint node cost) ≤ max_distance."""
+    _, edges = street_graph(mv)
+    spark = mv.sparkSession
+    cost_df = spark.createDataFrame(
+        [(int(k), float(v)) for k, v in costs.items()] or [(None, None)],
+        "node_id long, cost double").where(F.col("node_id").isNotNull())
+    e = (edges
+         .join(cost_df.withColumnRenamed("node_id", "from_node_id")
+               .withColumnRenamed("cost", "_cf"), "from_node_id", "left")
+         .join(cost_df.withColumnRenamed("node_id", "to_node_id")
+               .withColumnRenamed("cost", "_ct"), "to_node_id", "left")
+         .where(F.least(F.coalesce("_cf", F.lit(float("inf"))),
+                        F.coalesce("_ct", F.lit(float("inf"))))
+                <= F.lit(float(max_distance))))
+    return mv.join(e.select(F.col("seg_id").alias("movement_id")),
+                   "movement_id", "left_semi")
+
+
+def reachable_within_caps(points: DataFrame, mv: DataFrame, costs: dict, *,
+                          extent_buffer: float, max_distance: float) -> DataFrame:
+    """M10: a point survives iff some movement part offers perpendicular
+    access ≤ extent_buffer AND network cost to the projection foot ≤
+    max_distance, with cost = min(endpoint cost + along, other endpoint +
+    len − along); access is never added to the network budget
+    (morphology.py:3212-3279)."""
+    parts = polyline_parts(mv)
+    _, edges = street_graph(mv)
+    spark = points.sparkSession
+    cost_df = spark.createDataFrame(
+        [(int(k), float(v)) for k, v in costs.items()] or [(None, None)],
+        "node_id long, cost double").where(F.col("node_id").isNotNull())
+    pe = (edges.select(F.col("seg_id").alias("movement_id"),
+                       "from_node_id", "to_node_id", "length")
+          .join(cost_df.withColumnRenamed("node_id", "from_node_id")
+                .withColumnRenamed("cost", "_cf"), "from_node_id", "left")
+          .join(cost_df.withColumnRenamed("node_id", "to_node_id")
+                .withColumnRenamed("cost", "_ct"), "to_node_id", "left"))
+    parts = parts.join(pe, "movement_id")
+
+    eb = float(extent_buffer)
+    mid = parts.withColumn("x", (F.col("ax") + F.col("bx")) / 2) \
+               .withColumn("y", (F.col("ay") + F.col("by")) / 2)
+    row = parts.agg(F.max("part_len").alias("m")).head()
+    import math
+    cell = max(eb, 1e-9)
+    ring = max(1, math.ceil((float(row["m"] or 0.0) / 2 + eb) / cell))
+    from ..index import explode_ring
+    mparts = explode_ring(with_cell(mid, cell_size=cell), ring=ring)
+    pts = with_cell(points, cell_size=cell)
+    cand = (pts.select("node_id", F.col("x").alias("px"),
+                       F.col("y").alias("py"), "cell")
+            .join(mparts.select("movement_id", "ax", "ay", "bx", "by",
+                                "part_len", "prefix_len", "total_len",
+                                "_cf", "_ct", "qcell"),
+                  pts.cell == mparts.qcell))
+
+    def refine(it):
+        import numpy as np
+        import pandas as pd
+        from ..geo.kernels import point_segment_distance
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            d, t = point_segment_distance(
+                pdf["px"].to_numpy(), pdf["py"].to_numpy(),
+                pdf["ax"].to_numpy(), pdf["ay"].to_numpy(),
+                pdf["bx"].to_numpy(), pdf["by"].to_numpy())
+            along = pdf["prefix_len"].to_numpy() + t * pdf["part_len"].to_numpy()
+            cf = pdf["_cf"].to_numpy(dtype=float)
+            ct = pdf["_ct"].to_numpy(dtype=float)
+            cf = np.where(np.isnan(cf), np.inf, cf)
+            ct = np.where(np.isnan(ct), np.inf, ct)
+            net = np.minimum(cf + along, ct + (pdf["total_len"].to_numpy() - along))
+            ok = (d <= eb) & (net <= max_distance)
+            yield pd.DataFrame({"node_id": pdf["node_id"].to_numpy()[ok]})
+
+    keep = cand.mapInPandas(refine, "node_id long").dropDuplicates()
+    return points.join(keep, "node_id", "left_semi")
+
+
+# --------------------------------------------------------------------------
+# M14 + DAG
+# --------------------------------------------------------------------------
+
+def fallback_tessellation(building_verts: DataFrame) -> DataFrame:
+    """M14: building footprints become place cells (morphology.py:2109-2140);
+    place ids keep the source building index."""
+    return building_verts.withColumnRenamed("poly_id", "place_id") \
+        .withColumn("enclosure_index", F.lit("fallback"))
+
+
+def morphological_graph(building_verts: DataFrame, mv: DataFrame,
+                        center_xy: tuple[float, float], distance: float, *,
+                        extent_buffer: float = 100.0,
+                        contiguity: str = "queen",
+                        tolerance: float = 1e-6) -> dict[str, DataFrame]:
+    """Morphological-graph DAG (morphology.py:156-348), round-1 tessellation
+    mode = the reference's own fallback path (building footprints as cells):
+
+    reachability field (M9) → reachable movements (M11) → cell retention by
+    the two-cap rule on centroids (M10) → three layers: touched_to (M6),
+    faced_to (M7 with extent_buffer as the fallback cap), connected_to (M8)
+    → isolated-place pruning (M13).
+    """
+    costs, _, _ = reachability_field(mv, center_xy)
+    mv_near = segments_within_network_distance(mv, costs, distance).persist()
+    cells = fallback_tessellation(building_verts)
+    cents = polygon_centroids(cells.withColumnRenamed("place_id", "poly_id")) \
+        .select(F.col("poly_id").alias("node_id"),
+                F.col("cx").alias("x"), F.col("cy").alias("y"))
+    kept = reachable_within_caps(cents, mv, costs,
+                                 extent_buffer=extent_buffer,
+                                 max_distance=distance)
+    cells_kept = cells.join(kept.select(F.col("node_id").alias("place_id")),
+                            "place_id", "left_semi").persist()
+    pv = cells_kept.withColumnRenamed("place_id", "poly_id")
+
+    touched = place_to_place_graph(pv, contiguity=contiguity)
+    faced = place_to_movement_graph(pv, mv_near, tolerance=tolerance,
+                                    max_connection_distance=extent_buffer)
+    connected = movement_to_movement_graph(mv_near)
+
+    # M13: drop places with no faced_to edge + their touched_to edges
+    with_face = faced.select(F.col("poly_id").alias("_p")).dropDuplicates()
+    touched = touched \
+        .join(with_face.withColumnRenamed("_p", "src"), "src", "left_semi") \
+        .join(with_face.withColumnRenamed("_p", "dst"), "dst", "left_semi")
+
+    return {"places": cells_kept, "movements": mv_near,
+            "touched_to": touched, "faced_to": faced,
+            "connected_to": connected}

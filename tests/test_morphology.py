@@ -1,0 +1,143 @@
+"""Morphology DAG vs a hand-computed street-and-buildings fixture.
+
+Street H runs (0,0)→(400,0) (polyline through (200,0)); street V
+(200,0)→(200,300) touches H only at H's interior vertex — per the
+reference's segments_to_graph semantics interior vertices are NOT nodes, so
+V is disconnected from H in the street graph.  Detached street D sits far
+away.  Center (100,1) snaps onto H with access 1, along 100.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from city2graph_spark.operators.morphology import (
+    fallback_tessellation,
+    morphological_graph,
+    movement_to_movement_graph,
+    place_to_movement_graph,
+    place_to_place_graph,
+    polyline_endpoints,
+    polyline_parts,
+    reachability_field,
+    reachable_within_caps,
+    segments_within_network_distance,
+    street_graph,
+)
+
+
+@pytest.fixture(scope="module")
+def mv(spark):
+    rows = [
+        (0, 0, 0.0, 0.0), (0, 1, 200.0, 0.0), (0, 2, 400.0, 0.0),   # H
+        (1, 0, 200.0, 0.0), (1, 1, 200.0, 300.0),                   # V
+        (2, 0, 1000.0, 1000.0), (2, 1, 1200.0, 1000.0),             # D
+    ]
+    return spark.createDataFrame(rows, "movement_id long, seq long, x double, y double")
+
+
+def _square(pid, cx, cy, h=5.0):
+    return [(pid, 0, s, x, y) for s, (x, y) in enumerate(
+        [(cx - h, cy - h), (cx + h, cy - h), (cx + h, cy + h),
+         (cx - h, cy + h), (cx - h, cy - h)])]
+
+
+@pytest.fixture(scope="module")
+def buildings(spark):
+    rows = (_square(0, 100.0, 10.0) + _square(1, 390.0, 10.0)
+            + _square(2, 100.0, 200.0) + _square(3, 1100.0, 1010.0))
+    return spark.createDataFrame(
+        rows, "poly_id long, ring long, seq long, x double, y double")
+
+
+def test_polyline_helpers(mv):
+    eps = {r.seg_id: (r.ax, r.ay, r.bx, r.by)
+           for r in polyline_endpoints(mv).collect()}
+    assert eps[0] == (0.0, 0.0, 400.0, 0.0)
+    parts = polyline_parts(mv).where(F.col("movement_id") == 0).collect()
+    assert sorted((r.part, r.part_len, r.prefix_len, r.total_len)
+                  for r in parts) == [(0, 200.0, 0.0, 400.0),
+                                      (1, 200.0, 200.0, 400.0)]
+
+
+def test_street_graph_interior_vertices_not_nodes(mv):
+    nodes, edges = street_graph(mv)
+    assert nodes.count() == 6
+    got = {(r.from_node_id, r.to_node_id): r.length for r in edges.collect()}
+    assert sorted(got.values()) == [200.0, 300.0, 400.0]
+
+
+def test_reachability_field(mv):
+    costs, _, _ = reachability_field(mv, (100.0, 1.0))
+    # H endpoints: access 1 + along 100 / + (400-100)
+    assert costs[0] == 101.0
+    assert costs[3] == 301.0
+    assert set(costs) == {0, 3}  # V and D unreachable
+
+
+def test_segments_within_distance(mv):
+    costs, _, _ = reachability_field(mv, (100.0, 1.0))
+    kept = {r.movement_id for r in
+            segments_within_network_distance(mv, costs, 350.0)
+            .select("movement_id").dropDuplicates().collect()}
+    assert kept == {0}
+
+
+def test_reachable_within_caps(spark, mv):
+    costs, _, _ = reachability_field(mv, (100.0, 1.0))
+    pts = spark.createDataFrame(
+        [(0, 100.0, 10.0), (1, 390.0, 10.0), (2, 100.0, 200.0),
+         (3, 1100.0, 1010.0)],
+        "node_id long, x double, y double")
+    kept = {r.node_id for r in
+            reachable_within_caps(pts, mv, costs, extent_buffer=50.0,
+                                  max_distance=350.0).collect()}
+    assert kept == {0, 1}  # access cap kills 2; unreachable costs kill 3
+
+
+def test_place_to_movement_fallback(mv, buildings):
+    e = place_to_movement_graph(buildings, mv, tolerance=1e-6,
+                                max_connection_distance=50.0)
+    got = {(r.poly_id, r.movement_id): r.weight for r in e.collect()}
+    # squares sit 5m off street H → dwithin(1e-6) fails, fallback kicks in;
+    # building 2 is 95m from street V — beyond the 50m cap → dropped
+    assert set(got) == {(0, 0), (1, 0), (3, 2)}
+    assert abs(got[(0, 0)] - math.hypot(100.0 - 200.0, 10.0 - 0.0)) < 1e-9
+
+
+def test_place_to_movement_touching(spark, mv):
+    # square touching the street (edge at y=0) matches via dwithin
+    sq = spark.createDataFrame(_square(7, 100.0, 5.0),
+                               "poly_id long, ring long, seq long, x double, y double")
+    e = place_to_movement_graph(sq, mv, tolerance=1e-6,
+                                max_connection_distance=0.0)
+    assert {(r.poly_id, r.movement_id) for r in e.collect()} == {(7, 0)}
+
+
+def test_place_to_place_group_filter(spark, buildings):
+    groups = spark.createDataFrame([(0, "g1"), (1, "g1"), (2, "g2"), (3, "g2")],
+                                   "poly_id long, group string")
+    # adjacent squares sharing an edge
+    sq = spark.createDataFrame(_square(0, 0.0, 0.0) + _square(1, 10.0, 0.0)
+                               + _square(2, 20.0, 0.0),
+                               "poly_id long, ring long, seq long, x double, y double")
+    g2 = spark.createDataFrame([(0, "a"), (1, "b"), (2, "b")],
+                               "poly_id long, group string")
+    all_e = {(r.src, r.dst) for r in place_to_place_graph(sq).collect()}
+    assert all_e == {(0, 1), (1, 2)}
+    filt = {(r.src, r.dst) for r in place_to_place_graph(sq, g2).collect()}
+    assert filt == {(1, 2)}
+
+
+def test_morphological_graph_dag(mv, buildings):
+    out = morphological_graph(buildings, mv, (100.0, 1.0), 350.0,
+                              extent_buffer=50.0)
+    assert {r.place_id for r in
+            out["places"].select("place_id").dropDuplicates().collect()} == {0, 1}
+    assert {r.movement_id for r in
+            out["movements"].select("movement_id").dropDuplicates().collect()} == {0}
+    assert {(r.poly_id, r.movement_id)
+            for r in out["faced_to"].collect()} == {(0, 0), (1, 0)}
+    assert out["touched_to"].count() == 0
+    assert out["connected_to"].count() == 0
