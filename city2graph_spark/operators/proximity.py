@@ -470,3 +470,69 @@ def waxman_graph(points: DataFrame, beta: float, r0: float, seed: int, *,
     return (cand.withColumn("_p", prob).withColumn("_r", draw)
                 .where(F.col("_r") < F.col("_p"))
                 .select("u", "v", F.col("dist").alias("weight")))
+
+
+def delaunay_graph(points: DataFrame, *, driver_limit: int = 200_000) -> DataFrame:
+    """Delaunay triangulation edges (reference proximity.py:890-982: all
+    2-combinations of every simplex, deduped).
+
+    Execution: the triangulation itself runs on gathered coordinates with
+    the pure-numpy Bowyer–Watson in ``geo.delaunay`` — the exact path for
+    street-network/test scale, mirroring the reference's single-process
+    scipy call.  (The distributed per-tile + halo-certified variant is the
+    flagged follow-up; Gabriel/RNG — the Delaunay *consumers* on the 100 TB
+    path — already run fully distributed via the bounded-candidate kernels
+    above, which is the same pruning role Delaunay plays in the reference.)
+    """
+    import numpy as np
+
+    from ..geo.delaunay import delaunay_edges
+
+    rows = points.select("node_id", "x", "y").collect()
+    if len(rows) > driver_limit:
+        raise ValueError(f"delaunay_graph driver path capped at {driver_limit} "
+                         "points; use gabriel_graph/rng bounded kernels at scale")
+    ids = np.array([r["node_id"] for r in rows], dtype=np.int64)
+    pts = np.array([[r["x"], r["y"]] for r in rows])
+    order = np.argsort(ids, kind="stable")
+    ids, pts = ids[order], pts[order]
+    edges = delaunay_edges(pts)
+    out = [(int(ids[i]), int(ids[j]),
+            float(np.sqrt(((pts[i] - pts[j]) ** 2).sum())))
+           for i, j in edges]
+    spark = points.sparkSession
+    df = spark.createDataFrame(out or [(None, None, None)],
+                               "u long, v long, weight double")
+    return df.where(F.col("u").isNotNull()) \
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"),
+                "weight")
+
+
+def euclidean_minimum_spanning_tree(points: DataFrame, *,
+                                    driver_limit: int = 200_000) -> DataFrame:
+    """EMST (reference proximity.py:1187-1300): Kruskal over the Delaunay
+    candidate set (EMST ⊆ Delaunay for the euclidean metric,
+    proximity.py:1279-1285).  Union-find runs at the driver over the O(n)
+    Delaunay edge list — the distributed analogue (Borůvka over the edge
+    DataFrame) only pays off past driver scale."""
+    cand = delaunay_graph(points, driver_limit=driver_limit) \
+        .collect()
+    cand.sort(key=lambda r: (r["weight"], r["u"], r["v"]))
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    keep = []
+    for r in cand:
+        ru, rv = find(r["u"]), find(r["v"])
+        if ru != rv:
+            parent[ru] = rv
+            keep.append((r["u"], r["v"], r["weight"]))
+    spark = points.sparkSession
+    df = spark.createDataFrame(keep or [(None, None, None)],
+                               "u long, v long, weight double")
+    return df.where(F.col("u").isNotNull())

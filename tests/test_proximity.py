@@ -140,3 +140,32 @@ def test_knn_k_exceeds_n(spark):
     df = spark.createDataFrame(rows, "node_id long, x double, y double")
     got = edge_set(knn_graph(df, 5, cell_size=100.0))
     assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_delaunay_and_emst(spark, pts_df, pts_np):
+    from city2graph_spark.operators.proximity import (
+        delaunay_graph, euclidean_minimum_spanning_tree)
+    dl = edge_set(delaunay_graph(pts_df))
+    gabriel = brute_gabriel(pts_np)
+    rng_e = brute_rng(pts_np)
+    # containment hierarchy (reference tests/test_proximity.py:116-148):
+    # MST ⊆ RNG ⊆ Gabriel ⊆ Delaunay
+    assert gabriel <= dl
+    mst = edge_set(euclidean_minimum_spanning_tree(pts_df))
+    assert mst <= rng_e <= gabriel
+    assert len(mst) == N - 1
+    # exact MST weight vs dense Prim oracle
+    d = np.sqrt(((pts_np[:, None, :] - pts_np[None, :, :]) ** 2).sum(-1))
+    import heapq
+    seen = {0}; heap = [(d[0, j], j) for j in range(1, N)]
+    heapq.heapify(heap); total = 0.0
+    while len(seen) < N:
+        w, j = heapq.heappop(heap)
+        if j in seen:
+            continue
+        seen.add(j); total += w
+        for k2 in range(N):
+            if k2 not in seen:
+                heapq.heappush(heap, (d[j, k2], k2))
+    got_total = sum(d[u, v] for u, v in mst)
+    assert abs(got_total - total) < 1e-6
