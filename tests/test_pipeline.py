@@ -1,0 +1,120 @@
+"""Pipeline operators: dedup library vs its dual-dialect gate SQL twins,
+text analysis, multimodal plumbing, streaming windows vs batch."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from city2graph_spark.gate import register_views, sql_minhash_lsh, sql_simhash
+from city2graph_spark.io.documents import synth_spans
+from city2graph_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
+from city2graph_spark.pipeline.multimodal import (
+    decode_features,
+    frame_sample,
+    resize_meta,
+    synth_media,
+)
+from city2graph_spark.pipeline.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_scores,
+    token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_library_matches_gate_sql(spark):
+    register_views(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lib = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    sql = {(r.doc_a, r.doc_b)
+           for r in spark.sql(sql_minhash_lsh("spark")).collect()}
+    assert lib == sql and len(lib) > 0
+    sh_lib = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    sh_sql = {r.doc_id: r.simhash
+              for r in spark.sql(sql_simhash("spark")).collect()}
+    assert sh_lib == sh_sql
+
+
+def test_exact_dedup_finds_planted_dupes(spark):
+    docs = spark.createDataFrame(
+        [(0, "aaa bbb"), (1, "ccc"), (2, "aaa bbb"), (3, "aaa bbb")],
+        "doc_id long, text string")
+    got = {r.keeper_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert got == {0: 3, 1: 1}
+    nd = {(r.doc_a, r.doc_b) for r in
+          simhash_neardup_pairs(docs, max_hamming=0).collect()}
+    assert {(0, 2), (0, 3), (2, 3)} <= nd
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in
+           ngram_jaccard_pairs(docs, n=3, threshold=0.99).collect()}
+    assert set(jac) == {(0, 2), (0, 3), (2, 3)}
+
+
+def test_text_ops(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat and the dog"), (1, "xyz qrs tuv")],
+        "doc_id long, text string")
+    assert {r.doc_id: r.n_tokens for r in token_count(docs).collect()} \
+        == {0: 5, 1: 3}
+    q = {r.doc_id: (r.n_tokens, r.n_distinct) for r in
+         quality_scores(docs).collect()}
+    assert q == {0: (5, 4), 1: (3, 3)}
+    langs = {r.doc_id: r.pred_lang for r in lang_id(docs).collect()}
+    assert langs == {0: "en", 1: "other"}
+    fp = doc_fingerprint(docs)
+    a = {r.doc_id: r.fingerprint for r in fp.collect()}
+    # identical text → identical fingerprint; distinct text → distinct
+    docs2 = spark.createDataFrame([(5, "the cat and the dog")],
+                                  "doc_id long, text string")
+    b = {r.doc_id: r.fingerprint for r in doc_fingerprint(docs2).collect()}
+    assert b[5] == a[0] != a[1]
+
+
+def test_multimodal_plumbing(spark):
+    base = spark.createDataFrame([(i, f"text {i}") for i in range(30)],
+                                 "doc_id long, text string")
+    media = synth_media(synth_spans(base)).cache()
+    assert media.count() == 10  # every 3rd doc carries a media span
+    feats = decode_features(media)
+    rows = feats.collect()
+    assert len(rows) == 10
+    assert all(0 <= r.ch_r <= 255 for r in rows)
+    # determinism of the stubbed decode
+    again = {r.media_ref: r.ch_r for r in decode_features(media).collect()}
+    assert {r.media_ref: r.ch_r for r in rows} == again
+    fs = frame_sample(media, every_ms=5000)
+    n = fs.groupBy("media_ref").count().collect()
+    durs = {r.media_ref: r.duration_ms for r in media.collect()}
+    for r in n:
+        assert r["count"] == durs[r.media_ref] // 5000 + 1
+    rs = resize_meta(media, max_side=64).collect()
+    assert all(max(r.new_width, r.new_height) <= 64 for r in rs)
+
+
+def test_streaming_windows_match_batch(spark):
+    from city2graph_spark.streaming.windows import (
+        read_event_stream, run_stream_to_memory, windowed_event_counts)
+    d = tempfile.mkdtemp()
+    shutil.copy(f"{SF}/events.parquet", f"{d}/events.parquet")
+    stream = read_event_stream(spark, d)
+    q = run_stream_to_memory(windowed_event_counts(stream), "win_counts")
+    try:
+        got = {(str(r.window_start), r.event_type): r.n
+               for r in spark.sql("SELECT * FROM win_counts").collect()}
+        batch = (spark.read.parquet(f"{d}/events.parquet")
+                 .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                 .agg(F.count("*").alias("n")))
+        want = {(str(r["w"]["start"]), r.event_type): r.n
+                for r in batch.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
