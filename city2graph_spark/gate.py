@@ -649,6 +649,39 @@ JOIN c ca ON ca.id = a.n_nationkey JOIN c cb ON cb.id = b.n_nationkey
 """
 
 
+_VX_SQL = "(CAST((vec_id * 747796405 + 2891336453) % 5000000 AS DOUBLE) / 1000.0)"
+_VY_SQL = "(CAST((vec_id * 22695477 + 1) % 5000000 AS DOUBLE) / 1000.0)"
+
+
+def q_bridge_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P11 directed bipartite 1-NN (bridge_nodes knn method,
+    proximity.py:1609-1756): every document point → its nearest
+    embedding-derived point."""
+    from .operators.bipartite import knn_graph_bipartite
+    src = derived_points(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dst = emb.select(F.col("vec_id").alias("node_id"),
+                     F.expr(_VX_SQL).alias("x"), F.expr(_VY_SQL).alias("y"))
+    e = knn_graph_bipartite(src, dst, 1, cell_size=500.0)
+    return e.select("src", "dst",
+                    F.floor(F.col("weight") * 10000).cast("long").alias("weight_q"))
+
+
+def _bridge_oracle() -> str:
+    return f"""
+WITH {POINTS_CTE},
+vpts AS (SELECT vec_id AS node_id, {_VX_SQL} AS x, {_VY_SQL} AS y FROM embeddings),
+cand AS (SELECT a.node_id AS src, b.node_id AS dst,
+  sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS w,
+  row_number() OVER (PARTITION BY a.node_id
+                     ORDER BY sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)),
+                              b.node_id) AS rn
+  FROM pts a, vpts b)
+SELECT src, dst, CAST(floor(w*10000) AS BIGINT) AS weight_q
+FROM cand WHERE rn = 1
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.simsearch import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -675,6 +708,7 @@ _SPATIAL_QUERIES = {
     "dual_graph": (q_dual_graph, _dual_oracle),
     "connected_components": (q_connected_components, _cc_oracle),
     "group_nodes_pip": (q_group_nodes, _group_nodes_oracle),
+    "bridge_nodes_knn": (q_bridge_knn, _bridge_oracle),
     "contiguity_queen": (_q_contiguity("queen"),
                          lambda: _contiguity_oracle("queen")),
     "contiguity_rook": (_q_contiguity("rook"),

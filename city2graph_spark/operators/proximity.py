@@ -356,49 +356,76 @@ def _empty_graph_kernel(r_cand: float, block: float, mode: str):
         uend = np.append(ustart[1:], len(ekey_s))
 
         keep_s = np.ones(len(ekey_s), dtype=bool)
-        offs = [dxo * K + dyo for dxo in range(-ring, ring + 1)
-                for dyo in range(-ring, ring + 1)]
         thr_all = None
         if mode == "rng":
             dij2 = d_s * d_s
             thr_all = dij2 - _EPS64 * 64.0 * np.maximum(dij2, 1.0)
+
+        def mask_endpoints(M, sel, widx, which):
+            """+inf the columns holding each edge's own endpoints (by id
+            position — never by the rounded dot value)."""
+            epos = np.searchsorted(widx, inv[which[sel]])
+            in_ring = epos < len(widx)
+            epos_c = np.clip(epos, 0, max(len(widx) - 1, 0))
+            hit = in_ring & (widx[epos_c] == inv[which[sel]])
+            M[np.nonzero(hit)[0], epos_c[hit]] = np.inf
+
+        def violated(sel, widx):
+            """Edges (indices into the sorted arrays) killed by any witness
+            in widx.  Disc test as ONE fused GEMM: G = (−(U+V) | 1)·(Wᵀ ;
+            s_w) ⇒ dot(e,w) = G[e,w] + c_e[e]; the m×c matrix is written
+            once by BLAS and read once by the min-reduce."""
+            if len(sel) == 0 or len(widx) == 0:
+                return np.zeros(len(sel), dtype=bool)
+            Ue, Ve = W[iu_s[sel]], W[iv_s[sel]]
+            c_e = Ue[:, 0] * Ve[:, 0] + Ue[:, 1] * Ve[:, 1]
+            X = np.empty((len(sel), 3))
+            X[:, 0] = -(Ue[:, 0] + Ve[:, 0])
+            X[:, 1] = -(Ue[:, 1] + Ve[:, 1])
+            X[:, 2] = 1.0
+            Y = np.empty((3, len(widx)))
+            Y[0] = Ws[widx, 0]
+            Y[1] = Ws[widx, 1]
+            Y[2] = s_w[widx]
+            G = X @ Y
+            mask_endpoints(G, sel, widx, iu_s)
+            mask_endpoints(G, sel, widx, iv_s)
+            bad = G.min(axis=1) < -c_e
+            if mode == "rng":
+                thr = thr_all[sel]
+                Xu = np.empty((len(sel), 3))
+                Xu[:, 0] = -2.0 * Ue[:, 0]
+                Xu[:, 1] = -2.0 * Ue[:, 1]
+                Xu[:, 2] = 1.0
+                du2 = Xu @ Y + (Ue[:, 0] * Ue[:, 0] + Ue[:, 1] * Ue[:, 1])[:, None]
+                Xu[:, 0] = -2.0 * Ve[:, 0]
+                Xu[:, 1] = -2.0 * Ve[:, 1]
+                dv2 = Xu @ Y + (Ve[:, 0] * Ve[:, 0] + Ve[:, 1] * Ve[:, 1])[:, None]
+                mask_endpoints(du2, sel, widx, iu_s)
+                mask_endpoints(du2, sel, widx, iv_s)
+                lune = (du2 < thr[:, None]) & (dv2 < thr[:, None])
+                bad |= lune.any(axis=1)
+            return bad
+
+        offs = [dxo * K + dyo for dxo in range(-ring, ring + 1)
+                for dyo in range(-ring, ring + 1) if not (dxo == 0 and dyo == 0)]
         for ci in range(len(ucell)):
-            sl = slice(ustart[ci], uend[ci])
-            # gather the witness ring via binary search on sorted keys
+            sel = np.arange(ustart[ci], uend[ci])
+            # pass A: the midpoint's own sub-cell witnesses kill ~95% of
+            # non-empty-region edges at ~1/9 the memory traffic
+            l0 = np.searchsorted(wkey_s, ucell[ci], "left")
+            h0 = np.searchsorted(wkey_s, ucell[ci] + 1, "left")
+            bad0 = violated(sel, np.arange(l0, h0))
+            keep_s[sel[bad0]] = False
+            surv = sel[~bad0]
+            if len(surv) == 0:
+                continue
+            # pass B: survivors vs the rest of the ring
             lo = np.searchsorted(wkey_s, [ucell[ci] + o for o in offs], "left")
             hi = np.searchsorted(wkey_s, [ucell[ci] + o + 1 for o in offs], "left")
             widx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
-            if len(widx) == 0:
-                continue
-            Wr, s_r = Ws[widx], s_w[widx]
-            Ue = W[iu_s[sl]]
-            Ve = W[iv_s[sl]]
-            c_e = Ue[:, 0] * Ve[:, 0] + Ue[:, 1] * Ve[:, 1]
-            dots = c_e[:, None] - (Ue + Ve) @ Wr.T + s_r[None, :]
-            # mask endpoint columns by id position, never by rounded value
-            epos = np.searchsorted(widx, inv[iu_s[sl]])
-            in_ring = (epos < len(widx))
-            epos_c = np.clip(epos, 0, len(widx) - 1)
-            hit = in_ring & (widx[epos_c] == inv[iu_s[sl]])
-            rows_idx = np.nonzero(hit)[0]
-            dots[rows_idx, epos_c[hit]] = np.inf
-            epos = np.searchsorted(widx, inv[iv_s[sl]])
-            in_ring = (epos < len(widx))
-            epos_c = np.clip(epos, 0, len(widx) - 1)
-            hit = in_ring & (widx[epos_c] == inv[iv_s[sl]])
-            rows_idx = np.nonzero(hit)[0]
-            dots[rows_idx, epos_c[hit]] = np.inf
-            bad = dots.min(axis=1) < 0.0
-            if mode == "rng":
-                thr = thr_all[sl]
-                du2 = (Ue[:, 0] * Ue[:, 0] + Ue[:, 1] * Ue[:, 1])[:, None] \
-                    - 2.0 * (Ue @ Wr.T) + s_r[None, :]
-                dv2 = (Ve[:, 0] * Ve[:, 0] + Ve[:, 1] * Ve[:, 1])[:, None] \
-                    - 2.0 * (Ve @ Wr.T) + s_r[None, :]
-                du2[np.isinf(dots)] = np.inf   # endpoint mask carries over
-                lune = (du2 < thr[:, None]) & (dv2 < thr[:, None])
-                bad |= lune.any(axis=1)
-            keep_s[sl] = ~bad
+            badr = violated(surv, widx)
+            keep_s[surv[badr]] = False
 
         return pd.DataFrame({"u": cid[iu_s[keep_s]],
                              "v": cid[iv_s[keep_s]],

@@ -22,6 +22,11 @@ DEFAULT_SHUFFLE_PARTITIONS = "32"
 def get_spark(app_name: str = "city2graph_spark", master: str | None = None,
               shuffle_partitions: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults."""
+    # one BLAS/OMP thread per Python worker: Spark already parallelises
+    # across tasks, and N workers × M BLAS threads thrashes the memory bus
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     builder = (
@@ -37,7 +42,10 @@ def get_spark(app_name: str = "city2graph_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
