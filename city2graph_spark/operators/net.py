@@ -165,3 +165,26 @@ def add_metapaths_by_weight(hetero_edges: DataFrame, endpoints: DataFrame, *,
     return spark.createDataFrame(rows or [(None, None, None)],
                                  "src long, dst long, weight double") \
         .where(F.col("src").isNotNull())
+
+
+def network_fixed_radius_graph(points: DataFrame, radius: float,
+                               nodes: DataFrame, edges: DataFrame, *,
+                               snap_cell: float = 500.0) -> DataFrame:
+    """P2 with the network metric (proximity.py:1412-1422): cutoff-bounded
+    Dijkstra between snapped nodes, keep pairs with cost ≤ radius, j > i."""
+    snaps = snap_points(points, nodes, cell_size=snap_cell).persist()
+    snodes = [r["snap_node"] for r in
+              snaps.select("snap_node").dropDuplicates().collect()]
+    g = BroadcastGraph.from_df(edges)
+    spark = points.sparkSession
+    costs = spark.createDataFrame(
+        g.pairwise_costs(snodes, targets=set(snodes), cutoff=float(radius))
+        or [(None, None, None)],
+        "sa long, sb long, cost double").where(F.col("sa").isNotNull())
+    a = snaps.select(F.col("node_id").alias("src"), F.col("snap_node").alias("sa"))
+    b = snaps.select(F.col("node_id").alias("dst"), F.col("snap_node").alias("sb"))
+    return (a.join(F.broadcast(costs), "sa").join(b, "sb")
+            .where(F.col("src") < F.col("dst"))
+            .where(F.col("cost") <= F.lit(float(radius)))
+            .select("src", "dst", F.col("cost").alias("weight"))
+            .dropDuplicates(["src", "dst"]))

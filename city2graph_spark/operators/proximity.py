@@ -563,3 +563,45 @@ def euclidean_minimum_spanning_tree(points: DataFrame, *,
     df = spark.createDataFrame(keep or [(None, None, None)],
                                "u long, v long, weight double")
     return df.where(F.col("u").isNotNull())
+
+
+def waxman_graph_exact(points: DataFrame, beta: float, r0: float,
+                       seed: int | None = None, *,
+                       metric: str = "euclidean",
+                       driver_limit: int = 50_000) -> DataFrame:
+    """Waxman graph with the reference's exact seeded RNG stream
+    (proximity.py:1543-1565): dense n×n distances, ONE ``rng.random((n,n))``
+    draw, mask = (rand <= probs) & triu(k=1).  Node order = ascending
+    node_id (the reference uses GDF index order — sort inputs accordingly
+    for row parity).  Deliberately single-node O(n²) like the reference;
+    the distributed hashed-draw variant is :func:`waxman_graph`."""
+    import numpy as np
+
+    rows = points.select("node_id", "x", "y").collect()
+    if len(rows) > driver_limit:
+        raise ValueError("waxman_graph_exact is the O(n²) parity path; use "
+                         "waxman_graph at scale")
+    ids = np.array([r["node_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    pts = np.array([[r["x"], r["y"]] for r in rows])[order]
+    rng = np.random.default_rng(seed)
+    if len(pts) < 2:
+        return points.sparkSession.createDataFrame(
+            [], "u long, v long, weight double")
+    diff = pts[:, None, :] - pts[None, :, :]
+    if metric == "manhattan":
+        dm = np.abs(diff).sum(-1)
+    else:
+        dm = np.sqrt((diff * diff).sum(-1))
+    with np.errstate(divide="ignore"):
+        probs = beta * np.exp(-dm / r0)
+    probs[dm == np.inf] = 0
+    rand = rng.random(dm.shape)
+    mask = (rand <= probs) & np.triu(np.ones_like(dm, dtype=bool), 1)
+    ii, jj = np.where(mask)
+    out = [(int(ids[i]), int(ids[j]), float(dm[i, j])) for i, j in zip(ii, jj)]
+    spark = points.sparkSession
+    return spark.createDataFrame(out or [(None, None, None)],
+                                 "u long, v long, weight double") \
+        .where(F.col("u").isNotNull())

@@ -248,3 +248,47 @@ def travel_summary_graph(stop_times: DataFrame, trips: DataFrame,
                               F.col("lat").alias("to_lat")),
                      "to_stop_id", "left"))
     return agg
+
+
+def load_gbfs(spark: SparkSession, json_dir: str) -> dict[str, DataFrame]:
+    """T2 (transportation.py:573-646): GBFS JSON directory → one DataFrame
+    per feed file, flattening data.stations/bikes/vehicles/vehicle_types/
+    feeds (else the data object itself); lat/lon materialise a geometry
+    struct.  Feed files are small metadata — parsed like the reference
+    (driver JSON), the row payload becomes a distributed DataFrame."""
+    import json
+    import os
+    out: dict[str, DataFrame] = {}
+    for root, _, files in os.walk(json_dir):
+        for fname in sorted(files):
+            if not fname.endswith(".json"):
+                continue
+            with open(os.path.join(root, fname), encoding="utf-8") as f:
+                try:
+                    raw = json.load(f)
+                except json.JSONDecodeError:
+                    continue
+            data = raw.get("data", {})
+            rows = None
+            for key in ("stations", "bikes", "vehicles", "vehicle_types",
+                        "feeds"):
+                if key in data:
+                    rows = data[key]
+                    break
+            if rows is None:
+                rows = [data]
+            if not rows:
+                continue
+            name = os.path.splitext(fname)[0].replace("-", "_").lower()
+            df = spark.createDataFrame(
+                [{k: (str(v) if v is not None else None) for k, v in r.items()}
+                 for r in rows])
+            if {"lat", "lon"}.issubset(set(df.columns)):
+                df = df.withColumn(
+                    "geometry",
+                    F.when(F.col("lon").cast("double").isNotNull()
+                           & F.col("lat").cast("double").isNotNull(),
+                           F.struct(F.col("lon").cast("double").alias("lon"),
+                                    F.col("lat").cast("double").alias("lat"))))
+            out[name] = df
+    return out
