@@ -393,18 +393,26 @@ def morphological_graph(building_verts: DataFrame, mv: DataFrame,
                         center_xy: tuple[float, float], distance: float, *,
                         extent_buffer: float = 100.0,
                         contiguity: str = "queen",
-                        tolerance: float = 1e-6) -> dict[str, DataFrame]:
-    """Morphological-graph DAG (morphology.py:156-348), round-1 tessellation
-    mode = the reference's own fallback path (building footprints as cells):
+                        tolerance: float = 1e-6,
+                        tessellation: str = "fallback") -> dict[str, DataFrame]:
+    """Morphological-graph DAG (morphology.py:156-348):
 
-    reachability field (M9) → reachable movements (M11) → cell retention by
-    the two-cap rule on centroids (M10) → three layers: touched_to (M6),
-    faced_to (M7 with extent_buffer as the fallback cap), connected_to (M8)
-    → isolated-place pruning (M13).
+    reachability field (M9) → reachable movements (M11) → tessellation
+    (``tessellation='morphological'`` = M5 bounded-Voronoi cells;
+    ``'fallback'`` = the reference's M14 path, building footprints as
+    cells) → cell retention by the two-cap rule on centroids (M10) → three
+    layers: touched_to (M6), faced_to (M7 with extent_buffer as the
+    fallback cap), connected_to (M8) → isolated-place pruning (M13).
     """
     costs, _, _ = reachability_field(mv, center_xy)
     mv_near = segments_within_network_distance(mv, costs, distance).persist()
-    cells = fallback_tessellation(building_verts)
+    if tessellation == "morphological":
+        from .tessellation import morphological_tessellation
+        cells = morphological_tessellation(building_verts) \
+            .withColumnRenamed("poly_id", "place_id") \
+            .withColumn("enclosure_index", F.lit("bbox"))
+    else:
+        cells = fallback_tessellation(building_verts)
     cents = polygon_centroids(cells.withColumnRenamed("place_id", "poly_id")) \
         .select(F.col("poly_id").alias("node_id"),
                 F.col("cx").alias("x"), F.col("cy").alias("y"))

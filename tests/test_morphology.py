@@ -141,3 +141,18 @@ def test_morphological_graph_dag(mv, buildings):
             for r in out["faced_to"].collect()} == {(0, 0), (1, 0)}
     assert out["touched_to"].count() == 0
     assert out["connected_to"].count() == 0
+
+
+def test_morphological_graph_with_tessellation(mv, buildings):
+    # cell centroids sit far from footprints (Voronoi cells are big), so
+    # the access cap must be generous for this tiny fixture
+    out = morphological_graph(buildings, mv, (100.0, 1.0), 350.0,
+                              extent_buffer=500.0,
+                              tessellation="morphological")
+    # Voronoi cells are much larger than footprints: the touched_to layer
+    # now has adjacency (cells of buildings 0 and 1 share a boundary)
+    places = {r.place_id for r in
+              out["places"].select("place_id").dropDuplicates().collect()}
+    assert {0, 1} <= places
+    touched = {(r.src, r.dst) for r in out["touched_to"].collect()}
+    assert (0, 1) in touched
