@@ -50,7 +50,13 @@ def expanded_points(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
     benchmark the spatial operators at N× the sf's document count."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     n = docs.count()
-    rep = (docs
+    # the sf parquet is a single file = one input partition; without a
+    # repartition the whole expansion (and the next stage's shuffle write)
+    # runs in ONE task — measured as a 12-second single-core phase at 3.2M
+    # points.  Real deployments read many files; the repartition emulates
+    # that.
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    rep = (docs.repartition(par)
            .withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
            .select((F.col("doc_id") + F.col("_i") * F.lit(n)).alias("node_id")))
     return rep.select(

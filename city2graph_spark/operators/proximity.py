@@ -76,16 +76,24 @@ def _local_topk_kernel(k: int, metric: str, block_size: float):
     import numpy as np
     import pandas as pd
 
+    B = float(block_size)
     empty = {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"),
-             "weight": pd.Series(dtype="float64")}
+             "weight": pd.Series(dtype="float64"),
+             "cert": pd.Series(dtype="bool"),
+             "px": pd.Series(dtype="float64"),
+             "py": pd.Series(dtype="float64")}
 
     def kernel(rows: "pd.DataFrame") -> "pd.DataFrame":
         # One row per (point, covered block): the copy whose home cell equals
         # the group's query cell is a probe; every row is a candidate.
         # (Single-sided grouping — Spark 4.1's cogroup prunes the right
         # side's columns under generator inputs, so cogroup is avoided.)
+        # The certificate is computed HERE (kth distance strictly inside the
+        # exact per-point margin to the scanned 3×3 region boundary) so the
+        # driver-side plan needs no full-size anchor join; probe coords are
+        # emitted only on uncertified rows.
         home = (rows["cell"] == rows["qcell"]).to_numpy()
-        if not home.any() or len(rows) < 2:
+        if not home.any():
             return pd.DataFrame(empty)
         order = np.argsort(rows["node_id"].to_numpy(), kind="stable")
         cid = rows["node_id"].to_numpy()[order]
@@ -96,14 +104,23 @@ def _local_topk_kernel(k: int, metric: str, block_size: float):
         py = rows["y"].to_numpy()[home]
         nc = len(cid)
         kk = min(k, nc - 1)
+        bx = np.floor(px / B)
+        by = np.floor(py / B)
+        margin = np.minimum.reduce([px - (bx - 1) * B, (bx + 2) * B - px,
+                                    py - (by - 1) * B, (by + 2) * B - py])
         if kk <= 0:
-            return pd.DataFrame(empty)
-        out_src, out_dst, out_w = [], [], []
+            # lone probes: sentinel rows route them to the residual fallback
+            return pd.DataFrame({"src": pid, "dst": np.full(len(pid), -1),
+                                 "weight": np.full(len(pid), np.inf),
+                                 "cert": np.zeros(len(pid), dtype=bool),
+                                 "px": px, "py": py})
+        frames = []
         # chunk probes so chunk×candidates stays bounded (skewed blocks)
         chunk = max(1, int(4_000_000 / nc))
         m = min(kk + 8, nc)  # argpartition margin for boundary ties
         for s in range(0, len(pid), chunk):
             cpid, cpx, cpy = pid[s:s + chunk], px[s:s + chunk], py[s:s + chunk]
+            cmargin = margin[s:s + chunk]
             dx = cpx[:, None] - cx[None, :]
             dy = cpy[:, None] - cy[None, :]
             if metric == "manhattan":
@@ -124,14 +141,28 @@ def _local_topk_kernel(k: int, metric: str, block_size: float):
             o2 = np.argsort(sel_d, axis=1, kind="stable")[:, :kk]
             top_d = np.take_along_axis(sel_d, o2, axis=1)
             top_i = np.take_along_axis(sel_i, o2, axis=1)
-            keep = np.isfinite(top_d)
-            rows = np.repeat(cpid, kk).reshape(-1, kk)
-            out_src.append(rows[keep])
-            out_dst.append(top_i[keep])
-            out_w.append(top_d[keep])
-        return pd.DataFrame({"src": np.concatenate(out_src),
-                             "dst": np.concatenate(out_dst),
-                             "weight": np.concatenate(out_w)})
+            found = np.isfinite(top_d)
+            n_found = found.sum(axis=1)
+            kth = np.where(n_found > 0, np.max(np.where(found, top_d, -np.inf),
+                                               axis=1), np.inf)
+            cert = (n_found == k) & (kth < cmargin)
+            rows_src = np.repeat(cpid, kk).reshape(-1, kk)
+            rows_cert = np.repeat(cert, kk).reshape(-1, kk)
+            rows_px = np.repeat(cpx, kk).reshape(-1, kk)
+            rows_py = np.repeat(cpy, kk).reshape(-1, kk)
+            frames.append(pd.DataFrame({
+                "src": rows_src[found], "dst": top_i[found],
+                "weight": top_d[found], "cert": rows_cert[found],
+                "px": rows_px[found], "py": rows_py[found]}))
+            # probes with zero finite candidates still need sentinel rows
+            lone = ~found.any(axis=1)
+            if lone.any():
+                frames.append(pd.DataFrame({
+                    "src": cpid[lone], "dst": np.full(lone.sum(), -1),
+                    "weight": np.full(lone.sum(), np.inf),
+                    "cert": np.zeros(lone.sum(), dtype=bool),
+                    "px": cpx[lone], "py": cpy[lone]}))
+        return pd.concat(frames) if frames else pd.DataFrame(empty)
 
     return kernel
 
@@ -169,38 +200,32 @@ def knn_graph(points: DataFrame, k: int, *, cell_size: float,
 
     # ---- phase 1: per-superblock local kNN (grouped pandas kernel) -----
     # Every point is exploded to the 9 blocks it can serve as a candidate
-    # for; the home-cell copy doubles as the probe.
+    # for; the home-cell copy doubles as the probe.  The kernel computes
+    # the exactness certificate per probe (kth < margin-to-scanned-region)
+    # and emits sentinel dst=-1 rows for candidate-less probes, so the
+    # driver-side plan never joins against the full point set.  Node ids
+    # must be non-negative (the derived/doc ids always are).
     cands = explode_ring(pts, ring=1, cx="cell_cx", cy="cell_cy", out="qcell") \
         .select("node_id", "x", "y", "cell", "qcell")
     top1 = _persist(
         cands.groupBy("qcell")
         .applyInPandas(_local_topk_kernel(k, metric, B),
-                       "src long, dst long, weight double"))
+                       "src long, dst long, weight double, cert boolean, "
+                       "px double, py double"))
+    top_certified = top1.where(F.col("cert"))
 
-    # Certificate: the kth-found distance must be strictly inside the
-    # scanned 3×3 region — margin = exact distance from the point to that
-    # region's boundary (≥ B always).  Anchor on the full point set so
-    # probes with zero candidates still reach the fallback.
-    agg1 = top1.groupBy("src").agg(F.max("weight").alias("_kth"),
-                                   F.count("*").alias("_cnt"))
-    margin = F.least(
-        F.col("px") - (F.floor(F.col("px") / B) - 1) * B,
-        (F.floor(F.col("px") / B) + 2) * B - F.col("px"),
-        F.col("py") - (F.floor(F.col("py") / B) - 1) * B,
-        (F.floor(F.col("py") / B) + 2) * B - F.col("py"))
+    # Only the (rare) uncertified probes need driver-side stats.
     stats1 = _persist(
-        pts.select(F.col("node_id").alias("src"),
-                   F.col("x").alias("px"), F.col("y").alias("py"))
-           .join(agg1, "src", "left")
-           .withColumn("_cnt", F.coalesce(F.col("_cnt"), F.lit(0)))
-           .withColumn("_margin", margin))
-    certified = stats1.where((F.col("_cnt") == k) & (F.col("_kth") < F.col("_margin")))
-    top_certified = top1.join(certified.select("src"), "src", "left_semi")
+        top1.where(~F.col("cert"))
+        .groupBy("src")
+        .agg(F.max(F.when(F.col("dst") >= 0, F.col("weight"))).alias("_kth"),
+             F.sum(F.when(F.col("dst") >= 0, 1).otherwise(0)).alias("_cnt"),
+             F.first("px").alias("px"), F.first("py").alias("py")))
 
     # ---- phase 2: boundary exchange for uncertified probes -----------
     # Probes that found k candidates but too far: every true neighbor lies
     # within the found kth distance ⇒ re-probe a per-row box of that radius.
-    retry = stats1.where((F.col("_cnt") == k) & (F.col("_kth") >= F.col("_margin")))
+    retry = stats1.where(F.col("_cnt") == k)
     retry = explode_cells_in_box(
         retry, F.col("px") - F.col("_kth"), F.col("py") - F.col("_kth"),
         F.col("px") + F.col("_kth"), F.col("py") + F.col("_kth"),
