@@ -649,6 +649,54 @@ JOIN c ca ON ca.id = a.n_nationkey JOIN c cb ON cb.id = b.n_nationkey
 """
 
 
+def q_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 symmetrize_edges (topology.py:474-568): append missing reverse
+    rows of the fixed-radius directed-ised edge set; idempotent."""
+    from .operators.topology import symmetrize_edges
+    pts = derived_points(spark, sf_dir)
+    e = fixed_radius_graph(pts, RADIUS).select("src", "dst")
+    once = symmetrize_edges(e)
+    twice = symmetrize_edges(once)  # idempotence folded into the check
+    return twice.select(F.col("src").cast("long").alias("src"),
+                        F.col("dst").cast("long").alias("dst"))
+
+
+def _symmetrize_oracle() -> str:
+    return f"""
+WITH {POINTS_CTE}, {_PAIRS_CTE.format(r=RADIUS)}
+SELECT u AS src, v AS dst FROM cand
+UNION
+SELECT v AS src, u AS dst FROM cand
+"""
+
+
+def q_clip_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 clip_graph (topology.py:698-772): strict clip of the fixed-radius
+    graph to a rectangle — both endpoints covered."""
+    import numpy as np
+
+    from .operators.spatial import clip_graph
+    pts = derived_points(spark, sf_dir)
+    e = fixed_radius_graph(pts, RADIUS)
+    ring = np.array([[1000.0, 1000.0], [4000.0, 1000.0],
+                     [4000.0, 4000.0], [1000.0, 4000.0]])
+    out = clip_graph(pts, e, ring)
+    return out.select("src", "dst",
+                      F.floor(F.col("weight") * 10000).cast("long")
+                      .alias("weight_q"))
+
+
+def _clip_oracle() -> str:
+    return f"""
+WITH {POINTS_CTE}, {_PAIRS_CTE.format(r=RADIUS)},
+inside AS (SELECT node_id FROM pts
+           WHERE x >= 1000.0 AND x <= 4000.0 AND y >= 1000.0 AND y <= 4000.0)
+SELECT u AS src, v AS dst, CAST(floor(d*10000) AS BIGINT) AS weight_q
+FROM cand
+WHERE u IN (SELECT node_id FROM inside) AND v IN (SELECT node_id FROM inside)
+"""
+
+
 _VX_SQL = "(CAST((vec_id * 747796405 + 2891336453) % 5000000 AS DOUBLE) / 1000.0)"
 _VY_SQL = "(CAST((vec_id * 22695477 + 1) % 5000000 AS DOUBLE) / 1000.0)"
 
@@ -709,6 +757,8 @@ _SPATIAL_QUERIES = {
     "connected_components": (q_connected_components, _cc_oracle),
     "group_nodes_pip": (q_group_nodes, _group_nodes_oracle),
     "bridge_nodes_knn": (q_bridge_knn, _bridge_oracle),
+    "symmetrize_edges": (q_symmetrize, _symmetrize_oracle),
+    "clip_graph": (q_clip_graph, _clip_oracle),
     "contiguity_queen": (_q_contiguity("queen"),
                          lambda: _contiguity_oracle("queen")),
     "contiguity_rook": (_q_contiguity("rook"),
