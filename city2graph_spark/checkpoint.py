@@ -48,9 +48,20 @@ class SnapshotCheckpoint:
             return None
         return m["fingerprint"]
 
-    def is_complete(self, stage: str, inputs: list[str]) -> bool:
+    def is_complete(self, stage: str, inputs: list[str],
+                    version: str | None = None) -> bool:
         m = self.manifest(stage)
         if m is None:
+            return False
+        # a manifest without its data is NOT complete (deleted/corrupt dir)
+        data_dir = os.path.join(self._dir(stage), "data")
+        if not os.path.isdir(data_dir) or not any(
+                f.endswith(".parquet") or f == "_SUCCESS"
+                for f in os.listdir(data_dir)):
+            return False
+        # build-code identity: a stage rebuilt with different logic must not
+        # be silently skipped
+        if m.get("version") != version:
             return False
         want = {s: self.fingerprint(s) for s in inputs}
         return m.get("lineage") == want and all(v is not None
@@ -59,13 +70,15 @@ class SnapshotCheckpoint:
 
     # -- stage execution ----------------------------------------------------
     def stage(self, name: str, build, *, inputs: list[str] | None = None,
-              partition_by: str | None = None) -> DataFrame:
+              partition_by: str | None = None,
+              version: str | None = None) -> DataFrame:
         """Run (or resume) a stage.  ``build`` is a zero-arg callable
         returning the stage's DataFrame; ``inputs`` are upstream stage names
-        for lineage validation."""
+        for lineage validation; ``version`` is an optional build-code tag —
+        change it when the stage's logic changes to force a rebuild."""
         inputs = inputs or []
         data_dir = os.path.join(self._dir(name), "data")
-        if self.is_complete(name, inputs):
+        if self.is_complete(name, inputs, version):
             return self.spark.read.parquet(data_dir)
 
         t0 = time.time()
@@ -88,9 +101,11 @@ class SnapshotCheckpoint:
             "partitions": partitions,
             "wall_sec": round(time.time() - t0, 3),
             "lineage": lineage,
+            "version": version,
         }
         body["fingerprint"] = hashlib.md5(
-            json.dumps({k: body[k] for k in ("stage", "rows", "schema", "lineage")},
+            json.dumps({k: body[k] for k in
+                        ("stage", "rows", "schema", "lineage", "version")},
                        sort_keys=True).encode()).hexdigest()
         tmp = self._manifest_path(name) + ".tmp"
         with open(tmp, "w") as f:

@@ -16,18 +16,20 @@ _TYPE_RE = r"^\s*([A-Za-z]+)\s*"
 
 
 def fmt_point(x: float, y: float) -> str:
-    return f"POINT ({x!r} {y!r})"
+    # builtin-float repr: numpy>=2 reprs np.float64 as 'np.float64(…)',
+    # which would break the shortest-round-trip property the invariant needs
+    return f"POINT ({float(x)!r} {float(y)!r})"
 
 
 def fmt_linestring(coords) -> str:
-    body = ", ".join(f"{x!r} {y!r}" for x, y in coords)
+    body = ", ".join(f"{float(x)!r} {float(y)!r}" for x, y in coords)
     return f"LINESTRING ({body})"
 
 
 def fmt_polygon(rings) -> str:
     parts = []
     for ring in rings:
-        body = ", ".join(f"{x!r} {y!r}" for x, y in ring)
+        body = ", ".join(f"{float(x)!r} {float(y)!r}" for x, y in ring)
         parts.append(f"({body})")
     return f"POLYGON ({', '.join(parts)})"
 

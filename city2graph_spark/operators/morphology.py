@@ -97,6 +97,25 @@ def street_graph(mv: DataFrame) -> tuple[DataFrame, DataFrame]:
     return nodes, edges
 
 
+def oriented_endpoint_nodes(mv: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(movement_id, start_node, end_node): node ids matched to each
+    polyline's GEOMETRIC start/end vertex (join on coordinates).
+
+    segments_to_graph canonicalizes undirected edges to (min,max) node id,
+    which can flip relative to the polyline's drawing direction — any cost
+    that pairs with an along-path offset must use these oriented ids, not
+    the canonical from/to (reference morphology.py:3200-3209 wires costs to
+    the segment's actual geometric endpoints)."""
+    eps = polyline_endpoints(mv)
+    na = nodes.select(F.col("node_id").alias("start_node"),
+                      F.col("x").alias("ax"), F.col("y").alias("ay"))
+    nb = nodes.select(F.col("node_id").alias("end_node"),
+                      F.col("x").alias("bx"), F.col("y").alias("by"))
+    return (eps.join(na, ["ax", "ay"]).join(nb, ["bx", "by"])
+            .select(F.col("seg_id").alias("movement_id"),
+                    "start_node", "end_node"))
+
+
 # --------------------------------------------------------------------------
 # M8 / M6
 # --------------------------------------------------------------------------
@@ -226,10 +245,20 @@ def place_to_movement_graph(place_verts: DataFrame, mv: DataFrame, *,
     dists = dists.groupBy("poly_id", "movement_id").agg(F.min("dist").alias("dist"))
     matched = dists.where(F.col("dist") <= tol).persist()
 
-    # nearest fallback for unmatched places (morphology.py:1336-1419)
+    # nearest fallback for unmatched places (morphology.py:1336-1419):
+    # the reference's _connect_unmatched_place_to_nearest_movement searches
+    # ALL movements up to max_connection_distance — the tolerance-sized halo
+    # join above cannot see that far, so broadcast the (few) unmatched
+    # places' edge lists against every movement part and rank globally.
     unmatched = (place_verts.select("poly_id").dropDuplicates()
                  .join(matched.select("poly_id"), "poly_id", "left_anti"))
-    fb = (dists.join(unmatched, "poly_id", "left_semi")
+    uverts = vlist.join(unmatched, "poly_id", "left_semi")
+    fb_cand = (parts.select("movement_id", "ax", "ay", "bx", "by")
+               .crossJoin(F.broadcast(uverts)))
+    fb_dists = (fb_cand.mapInPandas(
+        refine, "poly_id long, movement_id long, dist double")
+        .groupBy("poly_id", "movement_id").agg(F.min("dist").alias("dist")))
+    fb = (fb_dists
           .withColumn("_rn", F.row_number().over(
               Window.partitionBy("poly_id")
               .orderBy(F.col("dist").asc(), F.col("movement_id").asc())))
@@ -279,18 +308,21 @@ def reachability_field(mv: DataFrame, center_xy: tuple[float, float]
     access = float(d[best])
     along = float(parts[best]["prefix_len"]
                   + t[best] * parts[best]["part_len"])
+    total_len = float(parts[best]["total_len"])
     mv_id = parts[best]["movement_id"]
-    erow = edges.where(F.col("seg_id") == mv_id) \
-        .select("from_node_id", "to_node_id", "length").head()
+    # resolve the GEOMETRIC start/end node ids (canonical from/to can be
+    # flipped relative to drawing direction — along is measured from the
+    # geometric start, so the pairing must follow geometry)
+    orow = oriented_endpoint_nodes(mv, nodes) \
+        .where(F.col("movement_id") == mv_id).head()
+    start_node, end_node = orow["start_node"], orow["end_node"]
     g = BroadcastGraph.from_df(
         edges, src="from_node_id", dst="to_node_id", weight="length")
     source = -1  # temp center node; street node ids are 0..n-1 (heap-safe int)
-    g.adj[source].append((erow["from_node_id"], access + along))
-    g.adj[source].append((erow["to_node_id"],
-                          access + (float(erow["length"]) - along)))
-    g.adj[erow["from_node_id"]].append((source, access + along))
-    g.adj[erow["to_node_id"]].append(
-        (source, access + (float(erow["length"]) - along)))
+    g.adj[source].append((start_node, access + along))
+    g.adj[source].append((end_node, access + (total_len - along)))
+    g.adj[start_node].append((source, access + along))
+    g.adj[end_node].append((source, access + (total_len - along)))
     costs = g.sssp([source])
     costs.pop(source, None)
     return costs, nodes, edges
@@ -324,17 +356,19 @@ def reachable_within_caps(points: DataFrame, mv: DataFrame, costs: dict, *,
     len − along); access is never added to the network budget
     (morphology.py:3212-3279)."""
     parts = polyline_parts(mv)
-    _, edges = street_graph(mv)
+    nodes, _ = street_graph(mv)
     spark = points.sparkSession
     cost_df = spark.createDataFrame(
         [(int(k), float(v)) for k, v in costs.items()] or [(None, None)],
         "node_id long, cost double").where(F.col("node_id").isNotNull())
-    pe = (edges.select(F.col("seg_id").alias("movement_id"),
-                       "from_node_id", "to_node_id", "length")
-          .join(cost_df.withColumnRenamed("node_id", "from_node_id")
-                .withColumnRenamed("cost", "_cf"), "from_node_id", "left")
-          .join(cost_df.withColumnRenamed("node_id", "to_node_id")
-                .withColumnRenamed("cost", "_ct"), "to_node_id", "left"))
+    # _cf must be the cost at the GEOMETRIC start (along is measured from
+    # it), _ct at the geometric end — canonical from/to can be flipped
+    pe = (oriented_endpoint_nodes(mv, nodes)
+          .join(cost_df.withColumnRenamed("node_id", "start_node")
+                .withColumnRenamed("cost", "_cf"), "start_node", "left")
+          .join(cost_df.withColumnRenamed("node_id", "end_node")
+                .withColumnRenamed("cost", "_ct"), "end_node", "left")
+          .select("movement_id", "_cf", "_ct"))
     parts = parts.join(pe, "movement_id")
 
     eb = float(extent_buffer)

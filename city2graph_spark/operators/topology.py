@@ -25,22 +25,28 @@ from pyspark.sql import functions as F
 
 
 def canonicalize_edges(edges: DataFrame, src: str = "src", dst: str = "dst",
-                       *, duplicates: str = "first") -> DataFrame:
+                       *, duplicates: str = "first",
+                       order_col: str | None = None) -> DataFrame:
     """Reorder (src,dst) to the unordered canonical pair (topology.py:423-431).
 
     duplicates='first' keeps one row per pair; 'key' keeps all rows adding a
-    per-pair ``edge_key`` (cumcount); 'keep' keeps all rows unchanged.
+    per-pair ``edge_key`` (cumcount in ``order_col`` order — the reference's
+    row-order cumcount; when None the pre-canonical (src,dst) pair is used so
+    repeated runs assign identical keys); 'keep' keeps all rows unchanged.
     """
-    out = edges.withColumn("_s", F.least(src, dst)) \
+    out = edges.withColumn("_os", F.col(src)).withColumn("_od", F.col(dst)) \
+               .withColumn("_s", F.least(src, dst)) \
                .withColumn("_d", F.greatest(src, dst)) \
                .drop(src, dst) \
                .withColumnRenamed("_s", src).withColumnRenamed("_d", dst)
     if duplicates == "first":
-        return out.dropDuplicates([src, dst])
+        return out.dropDuplicates([src, dst]).drop("_os", "_od")
     if duplicates == "key":
-        w = Window.partitionBy(src, dst).orderBy(F.lit(1))
-        return out.withColumn("edge_key", F.row_number().over(w) - 1)
-    return out
+        order = [order_col] if order_col else ["_os", "_od"]
+        w = Window.partitionBy(src, dst).orderBy(*order)
+        return out.withColumn("edge_key", F.row_number().over(w) - 1) \
+                  .drop("_os", "_od")
+    return out.drop("_os", "_od")
 
 
 def symmetrize_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -76,6 +76,41 @@ def test_reachability_field(mv):
     assert set(costs) == {0, 3}  # V and D unreachable
 
 
+@pytest.fixture(scope="module")
+def mv_flipped(spark):
+    # first-appearance ids (starts before ends): (100,0)=0, (200,0)=1,
+    # (0,0)=2.  Movement 1 runs (200,0)→(100,0) = node 1 → node 0, so its
+    # canonical undirected edge (0,1) puts the geometric END in from_node —
+    # a FLIP relative to drawing direction
+    rows = [(0, 0, 100.0, 0.0), (0, 1, 0.0, 0.0),
+            (1, 0, 200.0, 0.0), (1, 1, 100.0, 0.0)]
+    return spark.createDataFrame(
+        rows, "movement_id long, seq long, x double, y double")
+
+
+def test_reachability_orientation_flip(mv_flipped):
+    # center (180,0) on movement 1: along=20 from the geometric start
+    # (200,0)=node 1 — costs must follow geometry, not canonical node order
+    costs, _, _ = reachability_field(mv_flipped, (180.0, 0.0))
+    assert costs[1] == 20.0
+    assert costs[0] == 80.0
+    assert costs[2] == 180.0
+
+
+def test_reachable_within_caps_orientation_flip(spark, mv_flipped):
+    costs, _, _ = reachability_field(mv_flipped, (180.0, 0.0))
+    pts = spark.createDataFrame([(0, 195.0, 5.0)],
+                                "node_id long, x double, y double")
+    # foot (195,0): along 5 from node 1 (cost 20) → net 25; the swapped
+    # pairing would compute min(80+5, 20+95) = 85
+    kept = reachable_within_caps(pts, mv_flipped, costs,
+                                 extent_buffer=10.0, max_distance=26.0)
+    assert {r.node_id for r in kept.collect()} == {0}
+    kept2 = reachable_within_caps(pts, mv_flipped, costs,
+                                  extent_buffer=10.0, max_distance=24.0)
+    assert kept2.count() == 0
+
+
 def test_segments_within_distance(mv):
     costs, _, _ = reachability_field(mv, (100.0, 1.0))
     kept = {r.movement_id for r in
@@ -104,6 +139,19 @@ def test_place_to_movement_fallback(mv, buildings):
     # building 2 is 95m from street V — beyond the 50m cap → dropped
     assert set(got) == {(0, 0), (1, 0), (3, 2)}
     assert abs(got[(0, 0)] - math.hypot(100.0 - 200.0, 10.0 - 0.0)) < 1e-9
+
+
+def test_place_to_movement_global_fallback(spark, mv):
+    # building at (100,400): far outside the tolerance-halo of every
+    # movement part, but its global nearest (V's endpoint (200,300), ~134m)
+    # is within the 200m cap — the reference searches ALL movements up to
+    # max_connection_distance, so the edge must exist
+    sq = spark.createDataFrame(
+        _square(9, 100.0, 400.0),
+        "poly_id long, ring long, seq long, x double, y double")
+    e = place_to_movement_graph(sq, mv, tolerance=1e-6,
+                                max_connection_distance=200.0)
+    assert {(r.poly_id, r.movement_id) for r in e.collect()} == {(9, 1)}
 
 
 def test_place_to_movement_touching(spark, mv):
