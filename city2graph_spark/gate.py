@@ -743,6 +743,95 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann_lsh_candidates(emb)
 
+def _derived_buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2m-square buildings on a deterministic lattice inside a 5×5 grid of
+    1000m street enclosures: gx=id%5, gy=(id÷5)%5, x-offset from id÷25 —
+    injective, ≥99m from every street line, and collinear per enclosure at
+    gate scale (all cy equal for id÷25 < 28), so the enclosed-tessellation
+    cells are exact vertical strips with SQL-computable areas."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = docs.select(
+        F.col("doc_id").alias("poly_id"),
+        F.expr("CAST((doc_id % 5) * 1000 + 100 + ((doc_id DIV 25) % 28) * 30 "
+               "AS DOUBLE)").alias("cx"),
+        F.expr("CAST(((doc_id DIV 5) % 5) * 1000 + 100 + "
+               "(((doc_id DIV 25) DIV 28) % 28) * 30 AS DOUBLE)").alias("cy"))
+    corners = F.array(
+        F.struct(F.lit(0).alias("seq"), (F.col("cx") - 1).alias("x"), (F.col("cy") - 1).alias("y")),
+        F.struct(F.lit(1).alias("seq"), (F.col("cx") + 1).alias("x"), (F.col("cy") - 1).alias("y")),
+        F.struct(F.lit(2).alias("seq"), (F.col("cx") + 1).alias("x"), (F.col("cy") + 1).alias("y")),
+        F.struct(F.lit(3).alias("seq"), (F.col("cx") - 1).alias("x"), (F.col("cy") + 1).alias("y")),
+        F.struct(F.lit(4).alias("seq"), (F.col("cx") - 1).alias("x"), (F.col("cy") - 1).alias("y")))
+    return (b.select("poly_id", F.explode(corners).alias("v"))
+            .select("poly_id", F.lit(0).alias("ring"),
+                    F.col("v.seq").alias("seq"), F.col("v.x").alias("x"),
+                    F.col("v.y").alias("y")))
+
+
+def _grid_streets(spark: SparkSession) -> DataFrame:
+    """6+6 grid street polylines: x=k·1000 verticals, y=k·1000 horizontals."""
+    ks = spark.range(6).select(F.col("id").cast("long").alias("k"))
+    v = ks.select(F.col("k").alias("movement_id"),
+                  F.explode(F.array(
+                      F.struct(F.lit(0).alias("seq"), (F.col("k") * 1000.0).alias("x"), F.lit(0.0).alias("y")),
+                      F.struct(F.lit(1).alias("seq"), (F.col("k") * 1000.0).alias("x"), F.lit(5000.0).alias("y"))))
+                  .alias("p")).select("movement_id", "p.seq", "p.x", "p.y")
+    h = ks.select((F.col("k") + 6).alias("movement_id"),
+                  F.explode(F.array(
+                      F.struct(F.lit(0).alias("seq"), F.lit(0.0).alias("x"), (F.col("k") * 1000.0).alias("y")),
+                      F.struct(F.lit(1).alias("seq"), F.lit(5000.0).alias("x"), (F.col("k") * 1000.0).alias("y"))))
+                  .alias("p")).select("movement_id", "p.seq", "p.x", "p.y")
+    return v.unionByName(h)
+
+
+def q_tessellation_enclosed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 enclosed tessellation (utils/spatial.py:2725-2830): street-grid
+    polygonization into enclosures + per-enclosure Voronoi partition via
+    groupBy(eid).applyInPandas.  Returns per-cell quantized areas; the
+    oracle computes the exact strip areas the collinear fixture implies."""
+    from .operators.tessellation import enclosed_tessellation
+    bv = _derived_buildings(spark, sf_dir)
+    mv = _grid_streets(spark)
+    cells = enclosed_tessellation(bv, mv, segment=10.0,
+                                  limit=(0.0, 0.0, 5000.0, 5000.0),
+                                  keep_empty=False)
+
+    def area(pdf):
+        import pandas as pd
+        from .geo.kernels import shoelace_area_centroid
+        pdf = pdf.sort_values("seq")
+        a, _, _ = shoelace_area_centroid(pdf["x"].to_numpy(),
+                                         pdf["y"].to_numpy())
+        import math
+        return pd.DataFrame({
+            "enclosure_index": [int(pdf["enclosure_index"].iloc[0])],
+            "place_id": [int(pdf["place_id"].iloc[0])],
+            "area_q": [int(math.floor(abs(a) + 0.5))]})
+
+    return cells.groupBy("enclosure_index", "place_id").applyInPandas(
+        area, "enclosure_index long, place_id long, area_q long")
+
+
+def _tessellation_enclosed_oracle() -> str:
+    return """
+WITH b AS (SELECT doc_id AS node_id,
+                  (doc_id % 5) AS gx, ((doc_id // 5) % 5) AS gy,
+                  CAST((doc_id % 5) * 1000 + 100
+                       + ((doc_id // 25) % 28) * 30 AS DOUBLE) AS cx
+           FROM documents),
+m AS (SELECT node_id, gx, gy, cx,
+             LAG(cx)  OVER (PARTITION BY gx, gy ORDER BY cx) AS pl,
+             LEAD(cx) OVER (PARTITION BY gx, gy ORDER BY cx) AS pn
+      FROM b)
+SELECT CAST(gx * 5 + gy AS BIGINT) AS enclosure_index,
+       CAST(node_id AS BIGINT) AS place_id,
+       CAST(floor((COALESCE((cx + pn) / 2, gx * 1000 + 1000.0)
+                   - COALESCE((cx + pl) / 2, CAST(gx * 1000 AS DOUBLE)))
+                  * 1000 + 0.5) AS BIGINT) AS area_q
+FROM m
+"""
+
+
 _SPATIAL_QUERIES = {
     "knn_graph": (q_knn, _knn_oracle),
     "fixed_radius_graph": (q_fixed_radius, _radius_oracle),
@@ -763,6 +852,8 @@ _SPATIAL_QUERIES = {
                          lambda: _contiguity_oracle("queen")),
     "contiguity_rook": (_q_contiguity("rook"),
                         lambda: _contiguity_oracle("rook")),
+    "tessellation_enclosed": (q_tessellation_enclosed,
+                              _tessellation_enclosed_oracle),
 }
 
 

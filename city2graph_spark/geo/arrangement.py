@@ -1,0 +1,220 @@
+"""Planar-arrangement polygonization + polygon clipping — pure numpy.
+
+The enclosed-tessellation path (reference
+/root/reference/city2graph/utils/spatial.py:2776-2782 — ``momepy.enclosures``)
+needs the faces of the street/barrier arrangement.  shapely/GEOS is absent
+in this environment, so the arrangement is built from first principles:
+
+1. ``node_segments`` — split every segment at every pairwise intersection
+   (vectorized block-pairwise parametric intersection; endpoints snapped to
+   a relative grid so shared cut points compare exactly equal);
+2. ``polygonize`` — half-edge face extraction: sort outgoing directed edges
+   by angle around each vertex, trace ``next(h) = clockwise successor of
+   twin(h)``, keep positively-oriented (bounded) faces;
+3. ``sutherland_hodgman`` — clip a (possibly concave) subject ring against a
+   convex clipper ring: the shape needed for Voronoi-cell ∩ enclosure
+   (Voronoi cells are convex, enclosures are not).
+
+Documented bounds (same calls momepy/GEOS make differently): collinear
+overlapping barriers are not merged (rare in street data; pre-dedupe);
+an arrangement face's holes (isolated barrier islands) come out as separate
+nested faces — consumers resolve nesting with smallest-containing-face
+point location.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _snap(arr: np.ndarray, grid: float) -> np.ndarray:
+    return np.round(arr / grid) * grid
+
+
+def clip_segments_to_rect(segs: np.ndarray, rect: tuple[float, float, float, float]
+                          ) -> np.ndarray:
+    """Liang–Barsky clip of segments (m,4)=[x1,y1,x2,y2] to a rectangle."""
+    xmin, ymin, xmax, ymax = rect
+    x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    dx, dy = x2 - x1, y2 - y1
+    t0 = np.zeros(len(segs))
+    t1 = np.ones(len(segs))
+    keep = np.ones(len(segs), dtype=bool)
+    for p, q in ((-dx, x1 - xmin), (dx, xmax - x1),
+                 (-dy, y1 - ymin), (dy, ymax - y1)):
+        r = np.divide(q, p, out=np.full_like(q, np.inf), where=p != 0)
+        ent = (p < 0)
+        ext = (p > 0)
+        t0 = np.where(ent, np.maximum(t0, r), t0)
+        t1 = np.where(ext, np.minimum(t1, r), t1)
+        keep &= ~((p == 0) & (q < 0))
+    keep &= t0 < t1
+    out = np.column_stack([x1 + t0 * dx, y1 + t0 * dy,
+                           x1 + t1 * dx, y1 + t1 * dy])
+    return out[keep]
+
+
+def node_segments(segs: np.ndarray, *, grid: float = 1e-9) -> np.ndarray:
+    """Split segments at all pairwise intersections (proper crossings and
+    T-junctions).  Returns (k,4) noded segments with coordinates snapped to
+    ``grid`` so coincident cut points are bit-identical; zero-length pieces
+    and exact duplicates are dropped."""
+    segs = np.asarray(segs, dtype=np.float64)
+    m = len(segs)
+    if m == 0:
+        return segs.reshape(0, 4)
+    scale = max(1.0, float(np.abs(segs).max()))
+    g = grid * scale
+    cuts: list[list[float]] = [[0.0, 1.0] for _ in range(m)]
+    p = segs[:, 0:2]
+    r = segs[:, 2:4] - segs[:, 0:2]
+    block = 512
+    for i0 in range(0, m, block):
+        i1 = min(i0 + block, m)
+        P = p[i0:i1][:, None, :]          # (b,1,2)
+        R = r[i0:i1][:, None, :]
+        Q = p[None, :, :]                 # (1,m,2)
+        S = r[None, :, :]
+        d = R[..., 0] * S[..., 1] - R[..., 1] * S[..., 0]      # (b,m)
+        qp = Q - P
+        tn = qp[..., 0] * S[..., 1] - qp[..., 1] * S[..., 0]
+        un = qp[..., 0] * R[..., 1] - qp[..., 1] * R[..., 0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = tn / d
+            u = un / d
+        eps = 1e-12
+        ok = (np.abs(d) > eps) & (t >= -eps) & (t <= 1 + eps) \
+            & (u >= -eps) & (u <= 1 + eps)
+        bi, bj = np.nonzero(ok)
+        for a, b, tv, uv in zip(bi, bj, t[bi, bj], u[bi, bj]):
+            gi = i0 + a
+            if gi == b:
+                continue
+            if 1e-12 < tv < 1 - 1e-12:
+                cuts[gi].append(float(tv))
+            if 1e-12 < uv < 1 - 1e-12:
+                cuts[b].append(float(uv))
+    pieces = []
+    for i in range(m):
+        ts = np.unique(np.clip(np.array(cuts[i]), 0.0, 1.0))
+        pts = p[i] + ts[:, None] * r[i]
+        pts = _snap(pts, g)
+        for a in range(len(ts) - 1):
+            if not np.array_equal(pts[a], pts[a + 1]):
+                pieces.append((pts[a, 0], pts[a, 1], pts[a + 1, 0], pts[a + 1, 1]))
+    if not pieces:
+        return np.empty((0, 4))
+    out = np.array(pieces)
+    # dedupe undirected duplicates (overlapping barrier inputs)
+    seen = set()
+    keep_rows = []
+    for ri, s in enumerate(out):
+        k = tuple(sorted([(s[0], s[1]), (s[2], s[3])]))
+        if k not in seen:
+            seen.add(k)
+            keep_rows.append(ri)
+    return out[keep_rows]
+
+
+def _prune_dangles(segs: np.ndarray) -> np.ndarray:
+    """Iteratively remove segments with a degree-1 endpoint (dead ends)."""
+    segs = segs.copy()
+    while len(segs):
+        pts = np.vstack([segs[:, :2], segs[:, 2:]])
+        uniq, inv, cnt = np.unique(pts.round(12), axis=0,
+                                   return_inverse=True, return_counts=True)
+        deg = cnt[inv]
+        bad = (deg[:len(segs)] == 1) | (deg[len(segs):] == 1)
+        if not bad.any():
+            break
+        segs = segs[~bad]
+    return segs
+
+
+def polygonize(segs: np.ndarray, *, min_area: float = 1e-9
+               ) -> list[np.ndarray]:
+    """Noded segments → bounded faces (list of CCW rings, (k,2) arrays).
+
+    Half-edge traversal: at the head of h=(u→v), the successor is the
+    outgoing edge at v immediately clockwise of the twin (v→u); cycles with
+    positive signed area are the bounded faces."""
+    segs = _prune_dangles(np.asarray(segs, dtype=np.float64))
+    if len(segs) == 0:
+        return []
+    pts = np.vstack([segs[:, :2], segs[:, 2:]])
+    uniq, inv = np.unique(pts.round(12), axis=0, return_inverse=True)
+    n_seg = len(segs)
+    src = np.concatenate([inv[:n_seg], inv[n_seg:]])   # directed: seg fwd, rev
+    dst = np.concatenate([inv[n_seg:], inv[:n_seg]])
+    nh = len(src)
+    twin = np.concatenate([np.arange(n_seg, nh), np.arange(0, n_seg)])
+    vec = uniq[dst] - uniq[src]
+    ang = np.arctan2(vec[:, 1], vec[:, 0])
+
+    # per-vertex outgoing edges sorted by angle
+    order = np.lexsort((ang, src))
+    sorted_src = src[order]
+    starts = np.searchsorted(sorted_src, np.arange(len(uniq)), side="left")
+    ends = np.searchsorted(sorted_src, np.arange(len(uniq)), side="right")
+    pos_in_vertex = np.empty(nh, dtype=np.int64)
+    pos_in_vertex[order] = np.arange(nh) - starts[sorted_src]
+
+    nxt = np.empty(nh, dtype=np.int64)
+    for h in range(nh):
+        t = twin[h]
+        v = src[t]
+        s, e = starts[v], ends[v]
+        k = e - s
+        idx = pos_in_vertex[t]
+        nxt[h] = order[s + (idx - 1) % k]
+
+    faces = []
+    visited = np.zeros(nh, dtype=bool)
+    for h0 in range(nh):
+        if visited[h0]:
+            continue
+        ring_v = []
+        h = h0
+        while not visited[h]:
+            visited[h] = True
+            ring_v.append(src[h])
+            h = nxt[h]
+        ring = uniq[np.array(ring_v)]
+        x, y = ring[:, 0], ring[:, 1]
+        area = 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+        if area > min_area:
+            faces.append(ring)
+    return faces
+
+
+def sutherland_hodgman(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray:
+    """Clip ``subject`` ring (possibly concave, CCW) against a CONVEX CCW
+    ``clipper`` ring.  Returns the clipped ring ((k,2), possibly empty).
+    Disconnected intersections come out as one ring with zero-area bridge
+    edges (the standard SH degeneracy) — downstream edge-cancellation
+    dissolves handle them."""
+    out = np.asarray(subject, dtype=np.float64)
+    nc = len(clipper)
+    for i in range(nc):
+        if len(out) == 0:
+            break
+        a = clipper[i]
+        b = clipper[(i + 1) % nc]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        px, py = out[:, 0], out[:, 1]
+        side = ex * (py - a[1]) - ey * (px - a[0])     # >0 = inside (left)
+        nxt_side = np.roll(side, -1)
+        nxt_pt = np.roll(out, -1, axis=0)
+        new_pts = []
+        for j in range(len(out)):
+            cur_in = side[j] >= -1e-12
+            nx_in = nxt_side[j] >= -1e-12
+            if cur_in:
+                new_pts.append(out[j])
+            if cur_in != nx_in:
+                denom = side[j] - nxt_side[j]
+                if denom != 0.0:
+                    t = side[j] / denom
+                    new_pts.append(out[j] + t * (nxt_pt[j] - out[j]))
+        out = np.array(new_pts) if new_pts else np.empty((0, 2))
+    return out

@@ -40,15 +40,87 @@ def voronoi_cells(sites: np.ndarray, bbox: tuple[float, float, float, float]
             if v < n:
                 incident[v].append(t_idx)
 
+    # fan order around each site by the incident TRIANGLE's centroid angle,
+    # not the circumcenter angle: triangles partition the angular space
+    # around their shared vertex, so centroid angles are well-separated even
+    # when (nearly) cocircular configurations make circumcenters coincide —
+    # circumcenter-angle sorting produced self-intersecting cells there.
+    tcent = P[tris].mean(axis=1)
     cells: list[np.ndarray] = []
     for i in range(n):
         if not incident[i]:
             cells.append(np.empty((0, 2)))
             continue
-        C = cc[incident[i]]
-        ang = np.arctan2(C[:, 1] - sites[i, 1], C[:, 0] - sites[i, 0])
+        idx = np.array(incident[i])
+        C = cc[idx]
+        G = tcent[idx]
+        ang = np.arctan2(G[:, 1] - sites[i, 1], G[:, 0] - sites[i, 0])
         order = np.argsort(ang, kind="stable")
         cells.append(C[order])
+    return cells
+
+
+def _clip_halfplane(poly: np.ndarray, si: np.ndarray, sj: np.ndarray
+                    ) -> np.ndarray:
+    """Clip ``poly`` to the half-plane nearer ``si`` than ``sj``.
+
+    The side function is d²(p,sj) − d²(p,si); evaluated for the mirrored
+    pair (sj, si) it is the EXACT IEEE negation, and the crossing parameter
+    sa/(sa−sb) equals (−sa)/(sb−sa) bit-for-bit — so the shared bisector
+    edge between two Voronoi cells gets identical endpoints in both rings,
+    making downstream edge-cancellation dissolves exact."""
+    if len(poly) == 0:
+        return poly
+    dxj = poly[:, 0] - sj[0]
+    dyj = poly[:, 1] - sj[1]
+    dxi = poly[:, 0] - si[0]
+    dyi = poly[:, 1] - si[1]
+    side = (dxj * dxj + dyj * dyj) - (dxi * dxi + dyi * dyi)
+    nxt = np.roll(np.arange(len(poly)), -1)
+    out = []
+    for a in range(len(poly)):
+        b = nxt[a]
+        sa, sb = side[a], side[b]
+        if sa >= 0.0:
+            out.append(poly[a])
+        if (sa >= 0.0) != (sb >= 0.0) and sa != sb:
+            t = sa / (sa - sb)
+            out.append(poly[a] + t * (poly[b] - poly[a]))
+    return np.array(out) if out else np.empty((0, 2))
+
+
+def halfplane_cells(sites: np.ndarray, subject: np.ndarray) -> list[np.ndarray]:
+    """Voronoi cells clipped to a (possibly concave) ``subject`` ring by
+    incremental bisector half-plane clipping, nearest-neighbor-first with
+    the 2r stopping certificate (a site farther than twice the current
+    cell's max radius cannot cut it).
+
+    Robust where circumcenter-polygon construction is not: degenerate
+    (cocircular) sample configurations never produce self-intersecting
+    cells, and shared edges cancel exactly (see ``_clip_halfplane``).
+    O(n²) site-distance matrix — intended for per-enclosure site counts
+    (the distributed tessellation's applyInPandas groups), not global runs.
+    """
+    sites = np.asarray(sites, dtype=np.float64)
+    n = len(sites)
+    if n == 1:
+        return [subject.copy()]
+    diff = sites[:, None, :] - sites[None, :, :]
+    D = (diff * diff).sum(-1)
+    order = np.argsort(D, axis=1, kind="stable")
+    cells = []
+    for i in range(n):
+        poly = subject.copy()
+        si = sites[i]
+        for j in order[i, 1:]:
+            if len(poly) == 0:
+                break
+            d = poly - si
+            rmax2 = (d * d).sum(-1).max()
+            if D[i, j] > 4.0 * rmax2:
+                break
+            poly = _clip_halfplane(poly, si, sites[j])
+        cells.append(poly)
     return cells
 
 

@@ -413,6 +413,116 @@ def reachable_within_caps(points: DataFrame, mv: DataFrame, costs: dict, *,
 
 
 # --------------------------------------------------------------------------
+# M12 / M15 (enclosed-tessellation companions)
+# --------------------------------------------------------------------------
+
+def filter_adjacent_tessellation(cell_verts: DataFrame, mv: DataFrame, *,
+                                 max_distance: float = float("inf")
+                                 ) -> DataFrame:
+    """M12 (reference morphology.py:2749-2831): keep tessellation cells whose
+    centroid lies within ``max_distance`` (euclidean) of the street segments
+    intersecting the cell's enclosure; enclosures touched by no segment fall
+    back to the full network (reference 2807-2813).
+
+    ``cell_verts`` must carry (enclosure_index, place_id, ring, seq, x, y).
+    Streets are broadcast (street-scale, the BroadcastGraph size class);
+    per-enclosure candidate sets use bbox-overlap — a superset of the
+    reference's exact ``intersects`` (equal on rectilinear enclosures, never
+    drops a cell the reference would keep)."""
+    import math
+    if math.isinf(max_distance):
+        return cell_verts
+    parts = polyline_parts(mv).select("ax", "ay", "bx", "by").collect()
+    spark = cell_verts.sparkSession
+    import numpy as np
+    seg = np.array([[r["ax"], r["ay"], r["bx"], r["by"]] for r in parts]) \
+        if parts else np.empty((0, 4))
+    ebox = {r["enclosure_index"]: (r["x0"], r["y0"], r["x1"], r["y1"])
+            for r in cell_verts.groupBy("enclosure_index")
+            .agg(F.min("x").alias("x0"), F.min("y").alias("y0"),
+                 F.max("x").alias("x1"), F.max("y").alias("y1")).collect()}
+    bc = spark.sparkContext.broadcast((seg, ebox))
+    md = float(max_distance)
+
+    def cent(pdf):
+        import pandas as pd
+        from ..geo.kernels import shoelace_area_centroid
+        pdf = pdf.sort_values("seq")
+        _, cx, cy = shoelace_area_centroid(pdf["x"].to_numpy(),
+                                           pdf["y"].to_numpy())
+        return pd.DataFrame({"enclosure_index": [pdf["enclosure_index"].iloc[0]],
+                             "place_id": [pdf["place_id"].iloc[0]],
+                             "cx": [cx], "cy": [cy]})
+
+    cents = cell_verts.where(F.col("ring") == 0) \
+        .groupBy("enclosure_index", "place_id").applyInPandas(
+            cent, "enclosure_index long, place_id long, cx double, cy double")
+
+    def keep(it):
+        import pandas as pd
+        from ..geo.kernels import point_segment_distance
+        seg_b, ebox_b = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for eid, grp in pdf.groupby("enclosure_index", sort=False):
+                if len(seg_b) == 0:
+                    continue
+                x0, y0, x1, y1 = ebox_b.get(int(eid), (-np.inf, -np.inf,
+                                                       np.inf, np.inf))
+                m = ((np.minimum(seg_b[:, 0], seg_b[:, 2]) <= x1)
+                     & (np.maximum(seg_b[:, 0], seg_b[:, 2]) >= x0)
+                     & (np.minimum(seg_b[:, 1], seg_b[:, 3]) <= y1)
+                     & (np.maximum(seg_b[:, 1], seg_b[:, 3]) >= y0))
+                cand = seg_b[m] if m.any() else seg_b
+                px = grp["cx"].to_numpy(); py = grp["cy"].to_numpy()
+                dmin = np.full(len(grp), np.inf)
+                for s in cand:
+                    d, _ = point_segment_distance(
+                        px, py, np.full(len(grp), s[0]), np.full(len(grp), s[1]),
+                        np.full(len(grp), s[2]), np.full(len(grp), s[3]))
+                    dmin = np.minimum(dmin, d)
+                ok = dmin <= md
+                rows.append(pd.DataFrame({
+                    "enclosure_index": eid,
+                    "place_id": grp["place_id"].to_numpy()[ok]}))
+            if rows:
+                yield pd.concat(rows)
+
+    kept = cents.mapInPandas(keep, "enclosure_index long, place_id long")
+    return cell_verts.join(kept, ["enclosure_index", "place_id"], "left_semi")
+
+
+def add_building_info(cell_verts: DataFrame, building_verts: DataFrame
+                      ) -> DataFrame:
+    """M15 (reference morphology.py:2687-2741): attach ``building_id`` to
+    each tessellation cell by representative-point (centroid) containment;
+    cells whose ``place_id`` is itself a building index (fallback / enclosed
+    owner cells) match exactly when PIP finds nothing.
+
+    Cells with no matched building keep ``building_id`` null (the
+    reference's None building_geometry)."""
+    from .polygons import group_nodes, polygon_centroids
+    key = F.xxhash64(F.col("enclosure_index"), F.col("place_id"))
+    cv = cell_verts.withColumn("_ck", key)
+    polys = cv.select(F.col("_ck").alias("poly_id"), "ring", "seq", "x", "y")
+    cents = polygon_centroids(building_verts)
+    pts = cents.select(F.col("poly_id").alias("node_id"),
+                       F.col("cx").alias("x"), F.col("cy").alias("y"))
+    m = group_nodes(polys, pts) \
+        .select(F.col("poly_id").alias("_ck"),
+                F.col("node_id").alias("building_id")).dropDuplicates()
+    cells = (cv.select("_ck", "place_id").dropDuplicates()
+             .join(m, "_ck", "left")
+             .withColumn("building_id",
+                         F.coalesce("building_id",
+                                    F.when(F.col("place_id") >= 0,
+                                           F.col("place_id")))))
+    return cv.join(cells.select("_ck", "building_id"), "_ck").drop("_ck")
+
+
+# --------------------------------------------------------------------------
 # M14 + DAG
 # --------------------------------------------------------------------------
 
@@ -426,27 +536,106 @@ def fallback_tessellation(building_verts: DataFrame) -> DataFrame:
 def morphological_graph(building_verts: DataFrame, mv: DataFrame,
                         center_xy: tuple[float, float], distance: float, *,
                         extent_buffer: float = 100.0,
+                        clipping_buffer: float = float("inf"),
                         contiguity: str = "queen",
                         tolerance: float = 1e-6,
+                        keep_buildings: bool = False,
                         tessellation: str = "fallback") -> dict[str, DataFrame]:
     """Morphological-graph DAG (morphology.py:156-348):
 
     reachability field (M9) → reachable movements (M11) → tessellation
-    (``tessellation='morphological'`` = M5 bounded-Voronoi cells;
-    ``'fallback'`` = the reference's M14 path, building footprints as
-    cells) → cell retention by the two-cap rule on centroids (M10) → three
-    layers: touched_to (M6), faced_to (M7 with extent_buffer as the
-    fallback cap), connected_to (M8) → isolated-place pruning (M13).
+    (``tessellation='enclosed'`` = the reference's default M5 path, street
+    enclosures Voronoi-partitioned per building; ``'morphological'`` = M5
+    bounded-Voronoi cells without barriers; ``'fallback'`` = the reference's
+    M14 path, building footprints as cells) → adjacency filter (M12, only
+    meaningful with a finite ``clipping_buffer``) → cell retention by the
+    two-cap rule on centroids (M10) → optional building info (M15 via
+    ``keep_buildings``) → three layers: touched_to (M6), faced_to (M7 with
+    extent_buffer as the fallback cap), connected_to (M8) → isolated-place
+    pruning (M13).  Reference sequencing: morphology.py:1990-2045.
     """
     costs, _, _ = reachability_field(mv, center_xy)
     mv_near = segments_within_network_distance(mv, costs, distance).persist()
+    cells = _build_tessellation(building_verts, mv_near, tessellation)
+    return _layers_for_distance(
+        cells, building_verts, mv, mv_near, costs, distance,
+        extent_buffer=extent_buffer, clipping_buffer=clipping_buffer,
+        contiguity=contiguity, tolerance=tolerance,
+        keep_buildings=keep_buildings,
+        enclosed=(tessellation == "enclosed"))
+
+
+def morphological_graphs(building_verts: DataFrame, mv: DataFrame,
+                         center_xy: tuple[float, float],
+                         distances: list[float], *,
+                         extent_buffer: float = 100.0,
+                         clipping_buffer: float = float("inf"),
+                         contiguity: str = "queen",
+                         tolerance: float = 1e-6,
+                         keep_buildings: bool = False,
+                         tessellation: str = "fallback"
+                         ) -> dict[float, dict[str, DataFrame]]:
+    """M2 multi-distance shared pass (reference morphology.py:351-488): the
+    expensive shared work — the reachability cost field and the (enclosed)
+    tessellation, built once from the largest distance's segment context —
+    is reused across all requested distances; each distance then re-runs
+    only the cheap per-distance filters and layers.  As in the reference,
+    results for smaller distances can differ slightly near the clipping
+    boundary versus a standalone call."""
+    dv = [float(d) for d in distances]
+    if not dv:
+        raise ValueError("distances must contain at least one value")
+    costs, _, _ = reachability_field(mv, center_xy)
+    mv_near_max = segments_within_network_distance(mv, costs, max(dv)).persist()
+    cells = _build_tessellation(building_verts, mv_near_max, tessellation)
+    if tessellation == "enclosed":
+        cells = cells.persist()
+    out = {}
+    for d in dv:
+        # always filter from the FULL movement table: node ids in ``costs``
+        # come from the full street graph
+        mv_near = (mv_near_max if d == max(dv)
+                   else segments_within_network_distance(mv, costs, d)
+                   .persist())
+        out[d] = _layers_for_distance(
+            cells, building_verts, mv, mv_near, costs, d,
+            extent_buffer=extent_buffer, clipping_buffer=clipping_buffer,
+            contiguity=contiguity, tolerance=tolerance,
+            keep_buildings=keep_buildings,
+            enclosed=(tessellation == "enclosed"))
+    return out
+
+
+def _build_tessellation(building_verts: DataFrame, mv_near: DataFrame,
+                        tessellation: str) -> DataFrame:
+    if tessellation == "enclosed":
+        from .tessellation import enclosed_tessellation
+        cells = enclosed_tessellation(building_verts, mv_near)
+        # empty enclosures become their own places (negative id space,
+        # disjoint from building poly_ids — the reference's eID_-1 cells)
+        return cells.withColumn(
+            "place_id",
+            F.when(F.col("place_id") >= 0, F.col("place_id"))
+             .otherwise(-1 - F.col("enclosure_index")))
     if tessellation == "morphological":
         from .tessellation import morphological_tessellation
-        cells = morphological_tessellation(building_verts) \
+        return morphological_tessellation(building_verts) \
             .withColumnRenamed("poly_id", "place_id") \
             .withColumn("enclosure_index", F.lit("bbox"))
-    else:
-        cells = fallback_tessellation(building_verts)
+    return fallback_tessellation(building_verts)
+
+
+def _layers_for_distance(cells: DataFrame, building_verts: DataFrame,
+                         mv: DataFrame, mv_near: DataFrame, costs: dict,
+                         distance: float, *, extent_buffer: float,
+                         clipping_buffer: float, contiguity: str,
+                         tolerance: float, keep_buildings: bool,
+                         enclosed: bool) -> dict[str, DataFrame]:
+    if enclosed:
+        cells = filter_adjacent_tessellation(
+            cells, mv_near, max_distance=distance + clipping_buffer)
+        if keep_buildings:
+            cells = add_building_info(cells, building_verts)
     cents = polygon_centroids(cells.withColumnRenamed("place_id", "poly_id")) \
         .select(F.col("poly_id").alias("node_id"),
                 F.col("cx").alias("x"), F.col("cy").alias("y"))

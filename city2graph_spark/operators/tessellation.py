@@ -91,19 +91,194 @@ def morphological_tessellation(building_verts: DataFrame, *,
         out, "poly_id long, ring long, seq long, x double, y double")
 
 
+# --------------------------------------------------------------------------
+# Enclosed (barrier) tessellation — the reference's default M5 path
+# --------------------------------------------------------------------------
+
+def build_enclosures(barrier_segs, limit_rect: tuple[float, float, float, float]
+                     ) -> list[tuple[int, np.ndarray]]:
+    """momepy.enclosures equivalent (reference utils/spatial.py:2776-2782):
+    polygonize the planar arrangement of barrier segments ∪ the limit
+    rectangle into bounded faces.  Runs at the driver — barriers are
+    street-scale, the same size-class call as BroadcastGraph (SURVEY §4);
+    the per-enclosure Voronoi below is the distributed part.
+
+    Returns [(eid, CCW ring ndarray)] with eids assigned in deterministic
+    (minx, miny, area) order of the faces."""
+    from ..geo.arrangement import clip_segments_to_rect, node_segments, polygonize
+    xmin, ymin, xmax, ymax = limit_rect
+    rect = np.array([(xmin, ymin, xmax, ymin), (xmax, ymin, xmax, ymax),
+                     (xmax, ymax, xmin, ymax), (xmin, ymax, xmin, ymin)])
+    segs = np.asarray(barrier_segs, dtype=np.float64).reshape(-1, 4)
+    if len(segs):
+        segs = clip_segments_to_rect(segs, limit_rect)
+    allsegs = np.vstack([segs, rect]) if len(segs) else rect
+    faces = polygonize(node_segments(allsegs))
+    keyed = []
+    for ring in faces:
+        x, y = ring[:, 0], ring[:, 1]
+        area = 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+        keyed.append((float(ring[:, 0].min()), float(ring[:, 1].min()),
+                      area, ring))
+    keyed.sort(key=lambda t: (t[0], t[1], t[2]))
+    return [(i, k[3]) for i, k in enumerate(keyed)]
+
+
+def _tessellate_one_enclosure(ering: np.ndarray, pdf, segment: float):
+    """Voronoi-partition one enclosure among its buildings (vectorized numpy;
+    runs inside applyInPandas).  Returns [(place_id, ring ndarray)].
+
+    momepy.enclosed_tessellation semantics (reference spatial.py:2661-2723):
+    one building → the whole enclosure is its cell; ≥2 → Voronoi of jittered
+    boundary samples clipped to the (possibly non-convex) enclosure by
+    incremental bisector half-plane clipping (exact shared-edge
+    cancellation — geo.voronoi.halfplane_cells), dissolved per building."""
+    from ..geo.voronoi import dissolve_cells, halfplane_cells
+    pids = sorted(pdf["poly_id"].unique())
+    if len(pids) == 1:
+        return [(int(pids[0]), ering)]
+    samples, owners = [], []
+    for pid in pids:
+        grp = pdf[pdf["poly_id"] == pid].sort_values("seq")
+        s = _sample_boundary(grp["x"].to_numpy(), grp["y"].to_numpy(), segment)
+        samples.append(s)
+        owners.append(np.full(len(s), pid, dtype=np.int64))
+    S = _jitter(np.vstack(samples), np.concatenate(owners))
+    O = np.concatenate(owners)
+    clipped = halfplane_cells(S, ering)
+    rings = dissolve_cells(clipped, O)
+    return [(int(pid), ring) for pid, ring in sorted(rings.items())
+            if len(ring) >= 3]
+
+
+def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
+                          segment: float = 0.5, buffer: float = 100.0,
+                          limit: tuple[float, float, float, float] | None = None,
+                          keep_empty: bool = True) -> DataFrame:
+    """M5 enclosed tessellation (reference utils/spatial.py:2725-2830 +
+    momepy.enclosed_tessellation): polygonize the barrier (street)
+    arrangement into enclosure faces, then Voronoi-partition each enclosure
+    among the buildings inside it.
+
+    Distribution: enclosures come from the street-scale barrier table
+    (driver polygonization, broadcast rings); buildings are assigned to
+    their smallest containing face by a vectorized PIP pass, and the
+    per-enclosure Voronoi runs as ``groupBy(eid).applyInPandas`` — the
+    natural partition key, since enclosures tile the city and each is
+    independent.  At 100 TB the building table never gathers anywhere.
+
+    ``barriers_mv``: movement polyline vertex table (movement_id, seq, x, y).
+    ``limit``: (xmin, ymin, xmax, ymax) enclosure boundary; default = data
+    bbox buffered by ``buffer`` (the reference derives a buffered union,
+    spatial.py:2768-2775 — rectangle is the documented approximation).
+
+    Returns a polygon vertex table (enclosure_index, place_id, ring, seq,
+    x, y); ``place_id`` is the owning building's poly_id, or -1 for an
+    enclosure containing no buildings (kept as its own cell when
+    ``keep_empty``, matching momepy)."""
+    from .morphology import polyline_parts
+    from .polygons import polygon_centroids
+    spark = building_verts.sparkSession
+    parts = polyline_parts(barriers_mv).select("ax", "ay", "bx", "by").collect()
+    segs = np.array([[r["ax"], r["ay"], r["bx"], r["by"]] for r in parts]) \
+        if parts else np.empty((0, 4))
+    if limit is None:
+        bb = building_verts.agg(F.min("x"), F.min("y"),
+                                F.max("x"), F.max("y")).head()
+        xs = [bb[0], bb[2]] + ([segs[:, [0, 2]].min(), segs[:, [0, 2]].max()]
+                               if len(segs) else [])
+        ys = [bb[1], bb[3]] + ([segs[:, [1, 3]].min(), segs[:, [1, 3]].max()]
+                               if len(segs) else [])
+        limit = (float(min(xs)) - buffer, float(min(ys)) - buffer,
+                 float(max(xs)) + buffer, float(max(ys)) + buffer)
+    encl = build_enclosures(segs, limit)
+    rings_b = spark.sparkContext.broadcast(
+        [(eid, ring) for eid, ring in encl])
+
+    # assign each building to the smallest containing face (smallest-area
+    # rule resolves nested faces — barrier islands come out as nested rings)
+    cents = polygon_centroids(building_verts)
+
+    def assign(it):
+        import pandas as pd
+        from ..geo.kernels import points_covered_by_ring
+        faces = rings_b.value
+        areas = []
+        for _, ring in faces:
+            x, y = ring[:, 0], ring[:, 1]
+            areas.append(0.5 * float(np.sum(x * np.roll(y, -1)
+                                            - np.roll(x, -1) * y)))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            px = pdf["cx"].to_numpy()
+            py = pdf["cy"].to_numpy()
+            best_eid = np.full(len(pdf), -1, dtype=np.int64)
+            best_area = np.full(len(pdf), np.inf)
+            for (eid, ring), area in zip(faces, areas):
+                inb = ((px >= ring[:, 0].min()) & (px <= ring[:, 0].max())
+                       & (py >= ring[:, 1].min()) & (py <= ring[:, 1].max()))
+                if not inb.any():
+                    continue
+                rx = np.append(ring[:, 0], ring[0, 0])
+                ry = np.append(ring[:, 1], ring[0, 1])
+                cov = np.zeros(len(pdf), dtype=bool)
+                cov[inb] = points_covered_by_ring(px[inb], py[inb], rx, ry)
+                upd = cov & (area < best_area)
+                best_eid[upd] = eid
+                best_area[upd] = area
+            yield pd.DataFrame({"poly_id": pdf["poly_id"].to_numpy(),
+                                "eid": best_eid})
+
+    eids = cents.mapInPandas(assign, "poly_id long, eid long") \
+        .where(F.col("eid") >= 0)
+    verts = building_verts.where(F.col("ring") == 0) \
+        .select("poly_id", "seq", "x", "y").join(eids, "poly_id")
+
+    ring_map_b = spark.sparkContext.broadcast({eid: ring for eid, ring in encl})
+    seg_len = float(segment)
+
+    def tess(key, pdf):
+        import pandas as pd
+        eid = int(key[0])
+        ering = ring_map_b.value[eid]
+        cells = _tessellate_one_enclosure(ering, pdf, seg_len)
+        rows = []
+        for pid, ring in cells:
+            for i, (x, y) in enumerate(ring):
+                rows.append((eid, pid, 0, i, float(x), float(y)))
+        return pd.DataFrame(rows, columns=["enclosure_index", "place_id",
+                                           "ring", "seq", "x", "y"])
+
+    schema = ("enclosure_index long, place_id long, ring long, seq long, "
+              "x double, y double")
+    out = verts.groupBy("eid").applyInPandas(tess, schema)
+    if keep_empty:
+        used = {r["eid"] for r in eids.select("eid").dropDuplicates().collect()}
+        empty_rows = []
+        for eid, ring in encl:
+            if eid in used:
+                continue
+            for i, (x, y) in enumerate(ring):
+                empty_rows.append((eid, -1, 0, i, float(x), float(y)))
+        if empty_rows:
+            out = out.unionByName(spark.createDataFrame(empty_rows, schema))
+    return out
+
+
 def create_tessellation(building_verts: DataFrame,
                         primary_barriers: DataFrame | None = None, *,
                         segment: float = 0.5,
-                        buffer: float = 100.0) -> DataFrame:
-    """M5 entry point (spatial.py:2085-2197): no barriers → morphological
-    tessellation with bounding-box clip and tess_id = building index.
-    Enclosed (barrier-bounded) tessellation is the flagged follow-up —
-    callers use the fallback path (M14, buildings as cells) meanwhile."""
+                        buffer: float = 100.0,
+                        limit: tuple[float, float, float, float] | None = None
+                        ) -> DataFrame:
+    """M5 entry point (spatial.py:2085-2197): barriers given → enclosed
+    tessellation (the reference's default urban path); no barriers →
+    morphological tessellation with bounding-box clip, tess_id = building
+    index."""
     if primary_barriers is not None:
-        raise NotImplementedError(
-            "enclosed tessellation (barrier polygonization + non-convex "
-            "clipping) is flagged for the next round; pass "
-            "primary_barriers=None for morphological tessellation or use "
-            "morphology.fallback_tessellation")
+        return enclosed_tessellation(building_verts, primary_barriers,
+                                     segment=segment, buffer=buffer,
+                                     limit=limit)
     return morphological_tessellation(building_verts, segment=segment,
                                       buffer=buffer)

@@ -25,14 +25,92 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
 
 
 def cosine_topk(probe: DataFrame, k: int, *, build: DataFrame | None = None,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                rows_per_chunk: int = 50_000) -> DataFrame:
     """Exact cosine top-k of every probe vector against the build set
-    (default: self-join, self excluded).  Build side is collected and
-    broadcast (the ANN equivalent of a broadcast hash join — right whenever
-    the index side fits in executor memory); probes stream through
-    mapInPandas in Arrow batches with one float64 GEMM per batch.
+    (default: self-join, self excluded) — fully distributed block-nested
+    GEMM: both sides are hash-chunked, every (probe-chunk × build-chunk)
+    block meets in one cogroup task that runs a float64 GEMM and keeps its
+    local top-k, and a per-probe window merges block candidates into the
+    final ranks.  Nothing is ever collected to the driver; per-task memory
+    is bounded by ``rows_per_chunk`` on each side regardless of total size.
+
+    Shuffle volume is C·|probe| + P·|build| (C,P = chunk counts) — the
+    exact-search lower bound for a block matmul; for sublinear candidate
+    generation at scale use ``ann_lsh_candidates`` + ``cosine_rerank``.
 
     Ranking ties break by neighbor id ascending.  Returns (qid, nid, rnk).
+    Reference parity: city2graph has no embedding search — this is a
+    pipeline-extension operator (brief §extensions).
+    """
+    build = build if build is not None else probe
+    n_build = build.count()
+    n_probe = n_build if build is probe else probe.count()
+    C = max(1, -(-n_build // rows_per_chunk))   # build chunks
+    P = max(1, -(-n_probe // rows_per_chunk))   # probe chunks
+
+    bt = (build.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("bvec"))
+          .withColumn("bchunk", F.pmod(F.xxhash64("bid"), F.lit(C)))
+          .withColumn("pchunk", F.explode(F.sequence(F.lit(0), F.lit(P - 1)))))
+    pt = (probe.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+          .withColumn("pchunk", F.pmod(F.xxhash64("qid"), F.lit(P)))
+          .withColumn("bchunk", F.explode(F.sequence(F.lit(0), F.lit(C - 1)))))
+
+    kk_cap = int(k)
+
+    def block_topk(ppdf, bpdf):
+        import pandas as pd
+        if len(ppdf) == 0 or len(bpdf) == 0:
+            return pd.DataFrame({"qid": [], "nid": [], "sim": []}).astype(
+                {"qid": "int64", "nid": "int64", "sim": "float64"})
+        qid = ppdf["qid"].to_numpy().astype(np.int64)
+        Q = np.array(list(ppdf["qvec"]), dtype=np.float64)
+        bid = bpdf["bid"].to_numpy().astype(np.int64)
+        B = np.array(list(bpdf["bvec"]), dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        qn[qn == 0.0] = 1.0
+        bn = np.sqrt((B * B).sum(axis=1))
+        bn[bn == 0.0] = 1.0
+        sims = (Q @ B.T) / (qn[:, None] * bn[None, :])
+        sims[qid[:, None] == bid[None, :]] = -np.inf   # exclude self
+        kk = min(kk_cap, sims.shape[1])
+        # +8 tie slack then id-stable sort — same boundary-tie behavior as
+        # the broadcast path, so the final window picks smallest nids
+        m = min(kk + 8, sims.shape[1])
+        part = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+        sel_s = np.take_along_axis(sims, part, axis=1)
+        sel_i = bid[part]
+        o1 = np.argsort(sel_i, axis=1, kind="stable")
+        sel_s = np.take_along_axis(sel_s, o1, axis=1)
+        sel_i = np.take_along_axis(sel_i, o1, axis=1)
+        o2 = np.argsort(-sel_s, axis=1, kind="stable")[:, :kk]
+        sel_s = np.take_along_axis(sel_s, o2, axis=1)
+        sel_i = np.take_along_axis(sel_i, o2, axis=1)
+        keep = np.isfinite(sel_s)
+        qq = np.repeat(qid, sel_s.shape[1]).reshape(sel_s.shape)
+        return pd.DataFrame({"qid": qq[keep], "nid": sel_i[keep],
+                             "sim": sel_s[keep]})
+
+    from pyspark.sql import Window
+    cand = (pt.groupBy("pchunk", "bchunk")
+            .cogroup(bt.groupBy("pchunk", "bchunk"))
+            .applyInPandas(block_topk, "qid long, nid long, sim double"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (cand.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= kk_cap)
+            .select("qid", "nid", F.col("rnk").cast("long")))
+
+
+def cosine_topk_broadcast(probe: DataFrame, k: int, *,
+                          build: DataFrame | None = None,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Broadcast-build variant of ``cosine_topk`` (the ANN equivalent of a
+    broadcast hash join): right when the index side fits in executor memory
+    — small dims probed by a huge table.  Build side is collected once and
+    broadcast; probes stream through mapInPandas in Arrow batches with one
+    float64 GEMM per batch.  The chunked ``cosine_topk`` is the default —
+    this is the explicitly-opt-in small-index fast path.
     """
     build = build if build is not None else probe
     bids, bmat = _collect_matrix(build, id_col, vec_col)

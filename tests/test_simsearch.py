@@ -30,6 +30,31 @@ def test_cosine_topk_matches_numpy(emb_df):
     assert got == want
 
 
+def test_cosine_topk_never_collects_build(emb_df, monkeypatch):
+    """The default path is the chunked block-nested GEMM — the build
+    relation must never transit the driver (round-1 scale-killer)."""
+    import city2graph_spark.pipeline.simsearch as ss
+    df, _ = emb_df
+
+    def boom(*a, **k):
+        raise AssertionError("_collect_matrix called on the chunked path")
+
+    monkeypatch.setattr(ss, "_collect_matrix", boom)
+    assert ss.cosine_topk(df, 3).count() == 120 * 3
+
+
+def test_cosine_topk_chunked_equals_broadcast(emb_df):
+    """Many tiny chunks (rows_per_chunk=17 → multi-block merge) must give
+    the identical ranking as the broadcast small-index path."""
+    from city2graph_spark.pipeline.simsearch import cosine_topk_broadcast
+    df, _ = emb_df
+    a = {(r.qid, r.nid, r.rnk)
+         for r in cosine_topk(df, 5, rows_per_chunk=17).collect()}
+    b = {(r.qid, r.nid, r.rnk)
+         for r in cosine_topk_broadcast(df, 5).collect()}
+    assert a == b
+
+
 def test_lsh_candidates_deterministic_and_relevant(emb_df):
     df, mat = emb_df
     a = {(r.id_a, r.id_b) for r in ann_lsh_candidates(df, n_planes=6).collect()}
