@@ -408,6 +408,32 @@ FROM bits GROUP BY doc_id
 """
 
 
+def sql_simhash_neardup(d: str) -> str:
+    """Banded SimHash near-dup pairs (hamming ≤ 3 over 16 bits): pigeonhole
+    split into 4 bands of 4 bits → bucket equi-join on (band, band_bits) →
+    exact bit_count verify.  The Spark library twin is
+    ``pipeline.dedup.simhash_neardup_pairs`` (tested row-identical in
+    pytest); never an all-pairs join."""
+    sim = sql_simhash(d)
+    band_bits = f"({_shr('simhash', '(band * 4)', d)} & 15)"
+    seq = _seq_rel("band", 0, 3, d)
+    if d == "spark":
+        ham = "bit_count(ha ^ hb)"
+    else:
+        ham = "bit_count(xor(ha, hb))"
+    return f"""
+WITH sims AS ({sim}),
+bands AS (SELECT doc_id, simhash, band, {band_bits} AS bits
+          FROM sims CROSS JOIN {seq} _b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS ha, b.simhash AS hb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST({ham} AS BIGINT) AS hamming
+FROM cand WHERE {ham} <= 3
+"""
+
+
 def sql_embedding_topk(d: str) -> str:
     """Brute-force cosine top-k (k=3) ANN oracle over embeddings (the Spark
     side runs pipeline.simsearch.cosine_topk — numpy GEMM over broadcast
@@ -444,6 +470,7 @@ _SQL_QUERIES = {
     "ngram_jaccard": sql_ngram_jaccard,
     "minhash_lsh": sql_minhash_lsh,
     "simhash": sql_simhash,
+    "simhash_neardup": sql_simhash_neardup,
 }
 
 

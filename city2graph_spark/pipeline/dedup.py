@@ -38,7 +38,43 @@ def shingles(docs: DataFrame, *, n: int = 4, id_col: str = "doc_id",
 
 def minhash_signatures(docs: DataFrame, *, n_hashes: int = 8,
                        shingle_n: int = 4) -> DataFrame:
-    """(doc_id, j, h): per-doc min of the j-seeded md5 hash over shingles."""
+    """(doc_id, sig array<long>): all ``n_hashes`` minima in ONE pass — a
+    single groupBy with n min-aggregates over seeded xxhash64 (JVM-side, a
+    fraction of md5's cost, and no n_hashes× row blowup; map-side partial
+    aggregation makes the shuffle one row per doc).  The md5 variant lives
+    only in the gate oracle, where cross-engine portability requires it."""
+    sh = shingles(docs, n=shingle_n)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"_h{j}")
+            for j in range(n_hashes)]
+    wide = sh.groupBy("doc_id").agg(*mins)
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"_h{j}") for j in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, *, n_hashes: int = 8, band_rows: int = 2,
+                      shingle_n: int = 4) -> DataFrame:
+    """LSH candidate pairs: docs sharing any full band of minhashes.
+    Banded bucket equi-join — never all-pairs."""
+    mh = minhash_signatures(docs, n_hashes=n_hashes, shingle_n=shingle_n)
+    n_bands = n_hashes // band_rows
+    bands = (mh.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.slice("sig", b * band_rows + 1, band_rows).alias("sig"))
+        for b in range(n_bands)])).alias("_b"))
+        .select("doc_id", F.col("_b.band").alias("band"),
+                F.col("_b.sig").alias("sig")))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (a.join(b, ["band", "sig"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").dropDuplicates())
+
+
+def minhash_signatures_md5(docs: DataFrame, *, n_hashes: int = 8,
+                           shingle_n: int = 4) -> DataFrame:
+    """(doc_id, j, h): md5 twin of ``minhash_signatures`` — the engine-
+    portable hash used by the DuckDB gate oracle (gate.sql_minhash_lsh)."""
     sh = shingles(docs, n=shingle_n)
     js = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1)))
     return (sh.withColumn("j", js)
@@ -46,10 +82,10 @@ def minhash_signatures(docs: DataFrame, *, n_hashes: int = 8,
             .groupBy("doc_id", "j").agg(F.min("_h").alias("h")))
 
 
-def minhash_lsh_pairs(docs: DataFrame, *, n_hashes: int = 8, band_rows: int = 2,
-                      shingle_n: int = 4) -> DataFrame:
-    """LSH candidate pairs: docs sharing any full band of minhashes."""
-    mh = minhash_signatures(docs, n_hashes=n_hashes, shingle_n=shingle_n)
+def minhash_lsh_pairs_md5(docs: DataFrame, *, n_hashes: int = 8,
+                          band_rows: int = 2, shingle_n: int = 4) -> DataFrame:
+    """md5 twin of ``minhash_lsh_pairs`` (row-identical to the gate SQL)."""
+    mh = minhash_signatures_md5(docs, n_hashes=n_hashes, shingle_n=shingle_n)
     bands = (mh.withColumn("band", F.expr(f"j DIV {band_rows}"))
              .groupBy("doc_id", "band")
              .agg(F.sort_array(F.collect_list(F.struct("j", "h"))).alias("sig")))
@@ -81,14 +117,39 @@ def simhash(docs: DataFrame, *, bits: int = 16, text_col: str = "text") -> DataF
 
 def simhash_neardup_pairs(docs: DataFrame, *, bits: int = 16,
                           max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance (bucketless small-scale
-    variant: self-join; the scale path buckets on bit-prefix bands)."""
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming`` via
+    pigeonhole banding: the hash splits into ``max_hamming+1`` bit bands, and
+    any pair within the hamming budget must agree EXACTLY on ≥1 band — so
+    candidates come from a (band, band_bits) bucket equi-join, verified by
+    one exact bit_count.  Never an all-pairs join; at 100 TB the bucket join
+    shuffles one row per (doc, band)."""
     sh = simhash(docs, bits=bits)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    return (a.crossJoin(b)
+    nb = int(max_hamming) + 1
+    w = -(-bits // nb)
+    band_structs = []
+    for b in range(nb):
+        lo = b * w
+        width = min(w, bits - lo)
+        if width <= 0:
+            break
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"shiftright(simhash, {lo}) & {(1 << width) - 1}")
+             .alias("bits")))
+    bd = (sh.select("doc_id", "simhash",
+                    F.explode(F.array(*band_structs)).alias("_b"))
+          .select("doc_id", "simhash", F.col("_b.band").alias("band"),
+                  F.col("_b.bits").alias("bits")))
+    a = bd.select(F.col("doc_id").alias("doc_a"),
+                  F.col("simhash").alias("ha"), "band", "bits")
+    b2 = bd.select(F.col("doc_id").alias("doc_b"),
+                   F.col("simhash").alias("hb"), "band", "bits")
+    cand = (a.join(b2, ["band", "bits"])
             .where(F.col("doc_a") < F.col("doc_b"))
-            .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+            .select("doc_a", "doc_b", "ha", "hb").dropDuplicates())
+    return (cand
+            .withColumn("hamming",
+                        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
 

@@ -152,42 +152,101 @@ def cosine_topk_broadcast(probe: DataFrame, k: int, *,
     return probe.mapInPandas(topk_batches, "qid long, nid long, rnk long")
 
 
-def ann_lsh_candidates(df: DataFrame, *, n_planes: int = 12, seed: int = 42,
+def ann_lsh_candidates(df: DataFrame, *, n_planes: int = 12, n_bands: int = 4,
+                       seed: int = 42,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        dim: int | None = None) -> DataFrame:
-    """Approximate-NN candidate pairs via sign-random-projection LSH:
-    vectors sharing the full n_planes-bit signature land in one bucket;
-    pairs come from a bucket self-join — the scale path when the build side
-    cannot be broadcast (candidate verification then runs cosine_topk per
-    bucket or a rerank stage).  Hyperplanes are seeded and deterministic.
+    """Approximate-NN candidate pairs via OR-amplified sign-random-projection
+    LSH: ``n_bands`` independent ``n_planes``-bit signatures; vectors sharing
+    ANY band's full signature become a candidate pair (bucket equi-join per
+    band, unioned by construction — never all-pairs).  OR-amplification is
+    what keeps recall high for moderately-similar vectors; a single band
+    falls off a cliff (round-1 finding).  Hyperplanes are seeded and
+    deterministic.
 
-    Returns (id_a, id_b, bucket) with id_a < id_b.
+    Returns distinct (id_a, id_b) with id_a < id_b — verify with
+    ``cosine_rerank`` / ``ann_topk``.
     """
     if dim is None:
         head = df.select(vec_col).head()
         dim = len(head[0]) if head else 1
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_bands, n_planes, dim))
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(planes)
 
     def signatures(it):
         import pandas as pd
         pl = bc.value
+        nb, npl, _ = pl.shape
         for pdf in it:
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy().astype(np.int64)
             M = np.array(list(pdf[vec_col]), dtype=np.float64)
-            bits = (M @ pl.T) > 0.0
-            sig = np.zeros(len(ids), dtype=np.int64)
-            for b in range(pl.shape[0]):
-                sig |= bits[:, b].astype(np.int64) << b
-            yield pd.DataFrame({"vid": ids, "bucket": sig})
+            out_v, out_b, out_s = [], [], []
+            for b in range(nb):
+                bits = (M @ pl[b].T) > 0.0
+                sig = np.zeros(len(ids), dtype=np.int64)
+                for p in range(npl):
+                    sig |= bits[:, p].astype(np.int64) << p
+                out_v.append(ids)
+                out_b.append(np.full(len(ids), b, dtype=np.int64))
+                out_s.append(sig)
+            yield pd.DataFrame({"vid": np.concatenate(out_v),
+                                "band": np.concatenate(out_b),
+                                "bucket": np.concatenate(out_s)})
 
-    sigs = df.mapInPandas(signatures, "vid long, bucket long")
-    a = sigs.select(F.col("vid").alias("id_a"), "bucket")
-    b = sigs.select(F.col("vid").alias("id_b"), "bucket")
-    return (a.join(b, "bucket")
+    sigs = df.mapInPandas(signatures, "vid long, band long, bucket long")
+    a = sigs.select(F.col("vid").alias("id_a"), "band", "bucket")
+    b = sigs.select(F.col("vid").alias("id_b"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"])
              .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "bucket"))
+             .select("id_a", "id_b").dropDuplicates())
+
+
+def cosine_rerank(pairs: DataFrame, emb: DataFrame, *,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Exact cosine similarity for candidate pairs — entirely JVM-side:
+    two equi-joins to attach the vectors, then zip_with+aggregate dot
+    products inside whole-stage codegen (no Python worker in the path).
+
+    Returns (id_a, id_b, sim)."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = emb.select(F.col(id_col).alias("_id"), vd.alias("_v")) \
+        .withColumn("_n", F.sqrt(F.aggregate(
+            F.zip_with("_v", "_v", lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)))
+    va = nrm.select(F.col("_id").alias(a_col), F.col("_v").alias("_va"),
+                    F.col("_n").alias("_na"))
+    vb = nrm.select(F.col("_id").alias(b_col), F.col("_v").alias("_vb"),
+                    F.col("_n").alias("_nb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (pairs.join(va, a_col).join(vb, b_col)
+            .select(a_col, b_col,
+                    (dot / (F.greatest(F.col("_na"), F.lit(1e-300))
+                            * F.greatest(F.col("_nb"), F.lit(1e-300))))
+                    .alias("sim")))
+
+
+def ann_topk(df: DataFrame, k: int, *, n_planes: int = 8, n_bands: int = 6,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k: OR-amplified LSH candidates → JVM cosine
+    rerank → per-probe window top-k.  The sublinear scale path when even
+    the block-nested ``cosine_topk`` shuffle is too big; recall is tunable
+    via (n_planes, n_bands).  Returns (qid, nid, rnk)."""
+    from pyspark.sql import Window
+    cand = ann_lsh_candidates(df, n_planes=n_planes, n_bands=n_bands,
+                              seed=seed, id_col=id_col, vec_col=vec_col)
+    sims = cosine_rerank(cand, df, id_col=id_col, vec_col=vec_col)
+    both = sims.select(F.col("id_a").alias("qid"), F.col("id_b").alias("nid"),
+                       "sim") \
+        .unionByName(sims.select(F.col("id_b").alias("qid"),
+                                 F.col("id_a").alias("nid"), "sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (both.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= int(k))
+            .select("qid", "nid", F.col("rnk").cast("long")))

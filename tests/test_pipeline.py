@@ -33,9 +33,11 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_dedup_library_matches_gate_sql(spark):
+    from city2graph_spark.gate import sql_simhash_neardup
+    from city2graph_spark.pipeline.dedup import minhash_lsh_pairs_md5
     register_views(spark, SF)
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    lib = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    lib = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs_md5(docs).collect()}
     sql = {(r.doc_a, r.doc_b)
            for r in spark.sql(sql_minhash_lsh("spark")).collect()}
     assert lib == sql and len(lib) > 0
@@ -43,6 +45,26 @@ def test_dedup_library_matches_gate_sql(spark):
     sh_sql = {r.doc_id: r.simhash
               for r in spark.sql(sql_simhash("spark")).collect()}
     assert sh_lib == sh_sql
+    nd_lib = {(r.doc_a, r.doc_b, r.hamming)
+              for r in simhash_neardup_pairs(docs).collect()}
+    nd_sql = {(r.doc_a, r.doc_b, r.hamming)
+              for r in spark.sql(sql_simhash_neardup("spark")).collect()}
+    assert nd_lib == nd_sql
+
+
+def test_minhash_fast_path_finds_planted_neardups(spark):
+    """The xxhash64 one-pass library path (the bench headliner) must bucket
+    planted near-duplicates together and stay deterministic."""
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [(0, base), (1, base.replace("lazy", "hazy")), (2, "zzz completely different yyy"),
+         (3, base), (4, "qqq " + base)],
+        "doc_id long, text string")
+    a = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    b = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert a == b
+    assert {(0, 1), (0, 3), (0, 4)} <= a
+    assert not any(2 in p for p in a)
 
 
 def test_exact_dedup_finds_planted_dupes(spark):

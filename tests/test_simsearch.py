@@ -65,3 +65,53 @@ def test_lsh_candidates_deterministic_and_relevant(emb_df):
     sims = m @ m.T
     cand_mean = np.mean([sims[i, j] for i, j in a])
     assert cand_mean > sims[np.triu_indices(len(m), 1)].mean()
+
+
+@pytest.fixture(scope="module")
+def neardup_df(spark):
+    """2000 vectors with 100 planted near-duplicate pairs (cos ≈ 0.99) —
+    a size where the old crossJoin verify would already be 4M rows."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((1900, 32))
+    dup_src = base[:100]
+    dups = dup_src + 0.08 * rng.standard_normal((100, 32))
+    mat = np.vstack([base, dups])        # ids 1900..1999 dup ids 0..99
+    rows = [(int(i), [float(v) for v in mat[i]]) for i in range(len(mat))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planted = {(i, 1900 + i) for i in range(100)}
+    return df, planted
+
+
+def test_ann_multiband_recall(neardup_df):
+    """OR-amplified multi-band LSH must recover ≥0.9 of planted near-dups
+    (the round-1 single-band variant fell off a cliff here)."""
+    df, planted = neardup_df
+    cand = {(r.id_a, r.id_b)
+            for r in ann_lsh_candidates(df, n_planes=10, n_bands=6).collect()}
+    hit = sum(1 for p in planted if p in cand)
+    assert hit / len(planted) >= 0.9, hit
+    # single band for contrast: strictly fewer hits (documents the cliff)
+    one = {(r.id_a, r.id_b)
+           for r in ann_lsh_candidates(df, n_planes=10, n_bands=1).collect()}
+    assert sum(1 for p in planted if p in one) < hit
+
+
+def test_ann_topk_rerank(neardup_df):
+    from city2graph_spark.pipeline.simsearch import ann_topk
+    df, planted = neardup_df
+    top1 = {r.qid: r.nid
+            for r in ann_topk(df, 1, n_planes=10, n_bands=6).collect()}
+    ok = sum(1 for i, j in planted if top1.get(i) == j and top1.get(j) == i)
+    assert ok / len(planted) >= 0.9, ok
+
+
+def test_cosine_rerank_matches_numpy(emb_df):
+    from city2graph_spark.pipeline.simsearch import cosine_rerank
+    df, mat = emb_df
+    pairs = df.sparkSession.createDataFrame(
+        [(0, 1), (5, 17), (99, 100)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.sim for r in cosine_rerank(pairs, df).collect()}
+    m = mat.astype(np.float32).astype(np.float64)
+    n = np.linalg.norm(m, axis=1)
+    for (i, j), s in got.items():
+        assert abs(s - float(m[i] @ m[j] / (n[i] * n[j]))) < 1e-9
