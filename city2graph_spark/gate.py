@@ -859,6 +859,173 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# GTFS end-to-end gate (T3/T4/T5 over a synthetic feed derived from the
+# documents table — calendar expansion, extended >24h times, exceptions,
+# frequency multipliers; reference transportation.py:130-190, 687-714,
+# 1055-1156)
+# --------------------------------------------------------------------------
+
+_GTFS_START, _GTFS_END = "20240101", "20240107"
+
+
+def _synth_gtfs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Deterministic GTFS feed: 50 trips × ~10 stop events from doc_id
+    arithmetic; every 5th trip runs on extended (>24h) times; 3 services
+    (daily / weekday / weekend) with one removed + one added exception;
+    every 7th trip has a frequencies entry (multiplier 6)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    dep = ("21600 + CASE WHEN (doc_id % 50) % 5 = 0 THEN 64800 ELSE 0 END"
+           " + (doc_id DIV 50) * 600 + (doc_id * 31) % 300")
+
+    def fmt(sec: str) -> str:
+        return (f"CONCAT(CAST(({sec}) DIV 3600 AS STRING), ':', "
+                f"LPAD(CAST((({sec}) % 3600) DIV 60 AS STRING), 2, '0'), ':', "
+                f"LPAD(CAST(({sec}) % 60 AS STRING), 2, '0'))")
+
+    st = docs.select(
+        (F.col("doc_id") % 50).alias("trip_id"),
+        F.expr("doc_id DIV 50").alias("stop_sequence"),
+        ((F.col("doc_id") * 7 + 3) % 30).alias("stop_id"),
+        F.expr(fmt(f"({dep}) - 60")).alias("arrival_time"),
+        F.expr(fmt(dep)).alias("departure_time"))
+    trips = st.select("trip_id").dropDuplicates() \
+        .withColumn("service_id", F.col("trip_id") % 3)
+    calendar = spark.createDataFrame(
+        [(0, 1, 1, 1, 1, 1, 1, 1, "20240101", "20240114"),
+         (1, 1, 1, 1, 1, 1, 0, 0, "20240101", "20240114"),
+         (2, 0, 0, 0, 0, 0, 1, 1, "20240101", "20240114")],
+        "service_id long, monday int, tuesday int, wednesday int, "
+        "thursday int, friday int, saturday int, sunday int, "
+        "start_date string, end_date string")
+    calendar_dates = spark.createDataFrame(
+        [(0, "20240103", 2), (1, "20240106", 1)],
+        "service_id long, date string, exception_type int")
+    frequencies = trips.where(F.col("trip_id") % 7 == 0).select(
+        "trip_id", F.lit("06:00:00").alias("start_time"),
+        F.lit("08:00:00").alias("end_time"),
+        F.lit("1200").alias("headway_secs"))
+    return {"stop_times": st, "trips": trips, "calendar": calendar,
+            "calendar_dates": calendar_dates, "frequencies": frequencies}
+
+
+# shared DuckDB CTEs replicating the synthetic feed + active-date expansion
+_GTFS_CTE = """
+st AS (SELECT doc_id % 50 AS trip_id, doc_id // 50 AS stop_sequence,
+              (doc_id * 7 + 3) % 30 AS stop_id,
+              21600 + CASE WHEN (doc_id % 50) % 5 = 0 THEN 64800 ELSE 0 END
+                + (doc_id // 50) * 600 + (doc_id * 31) % 300 AS dep_sec
+       FROM documents),
+legs AS (SELECT trip_id, stop_id, dep_sec AS departure_time_sec,
+                LEAD(stop_id) OVER w AS next_stop_id,
+                LEAD(dep_sec - 60) OVER w AS next_arrival_time_sec
+         FROM st WINDOW w AS (PARTITION BY trip_id ORDER BY stop_sequence)),
+trips AS (SELECT DISTINCT trip_id, trip_id % 3 AS service_id FROM st),
+cal(service_id, mo, tu, we, th, fr, sa, su) AS (VALUES
+    (0, 1, 1, 1, 1, 1, 1, 1), (1, 1, 1, 1, 1, 1, 0, 0),
+    (2, 0, 0, 0, 0, 0, 1, 1)),
+dts AS (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-07',
+                                      INTERVAL 1 DAY))::DATE AS d),
+act0 AS (SELECT c.service_id, d.d FROM cal c CROSS JOIN dts d
+         WHERE CASE dayofweek(d.d)
+               WHEN 1 THEN mo WHEN 2 THEN tu WHEN 3 THEN we WHEN 4 THEN th
+               WHEN 5 THEN fr WHEN 6 THEN sa ELSE su END = 1),
+active AS (
+  SELECT service_id, d FROM (
+    SELECT service_id, d FROM act0
+    UNION SELECT 1, DATE '2024-01-06') _u
+  WHERE NOT (service_id = 0 AND d = DATE '2024-01-03'))
+"""
+
+
+def q_gtfs_od_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 end-to-end: consecutive stop legs × active service dates with
+    absolute timestamps, undirected ts swap; pure integer arithmetic so the
+    value hash is exact."""
+    from .operators.transport import get_od_pairs
+    feed = _synth_gtfs(spark, sf_dir)
+    od = get_od_pairs(feed["stop_times"], feed["trips"], feed["calendar"],
+                      feed["calendar_dates"], start_date=_GTFS_START,
+                      end_date=_GTFS_END, directed=False)
+    return od.select(
+        F.col("trip_id").cast("long").alias("trip_id"),
+        F.col("orig_stop_id").cast("long").alias("orig_stop_id"),
+        F.col("dest_stop_id").cast("long").alias("dest_stop_id"),
+        "date",
+        F.col("departure_ts").cast("long").alias("departure_ts"),
+        F.col("arrival_ts").cast("long").alias("arrival_ts"),
+        F.col("travel_time_sec").cast("long").alias("travel_time_sec"))
+
+
+def _gtfs_od_oracle() -> str:
+    return f"""
+WITH {_GTFS_CTE},
+od AS (
+  SELECT l.trip_id, l.stop_id AS o_id, l.next_stop_id AS d_id,
+         strftime(a.d, '%Y-%m-%d') AS date,
+         CAST(epoch(a.d::TIMESTAMP) + l.departure_time_sec AS BIGINT) AS dts,
+         CAST(epoch(a.d::TIMESTAMP) + l.next_arrival_time_sec AS BIGINT) AS ats
+  FROM legs l JOIN trips t USING (trip_id)
+  JOIN active a ON a.service_id = t.service_id
+  WHERE l.next_stop_id IS NOT NULL)
+SELECT CAST(trip_id AS BIGINT) AS trip_id,
+       CAST(CASE WHEN o_id > d_id THEN d_id ELSE o_id END AS BIGINT)
+           AS orig_stop_id,
+       CAST(CASE WHEN o_id > d_id THEN o_id ELSE d_id END AS BIGINT)
+           AS dest_stop_id,
+       date,
+       CASE WHEN o_id > d_id THEN ats ELSE dts END AS departure_ts,
+       CASE WHEN o_id > d_id THEN dts ELSE ats END AS arrival_ts,
+       ats - dts AS travel_time_sec
+FROM od
+"""
+
+
+def q_gtfs_travel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 end-to-end (directed): Σ(tt·sc)/Σ(sc) with sc = active-days ×
+    frequencies multiplier.  Both sums are exact BIGINTs, so the single
+    final division is bit-identical across engines."""
+    from .operators.transport import travel_summary_graph
+    feed = _synth_gtfs(spark, sf_dir)
+    ts = travel_summary_graph(
+        feed["stop_times"], feed["trips"], None, feed["calendar"],
+        feed["calendar_dates"], feed["frequencies"],
+        start_date=_GTFS_START, end_date=_GTFS_END, directed=True)
+    return ts.select(
+        F.col("from_stop_id").cast("long").alias("from_stop_id"),
+        F.col("to_stop_id").cast("long").alias("to_stop_id"),
+        F.floor(F.col("travel_time_sec") * 1000).cast("long")
+         .alias("travel_time_q"),
+        F.col("frequency").cast("long").alias("frequency"))
+
+
+def _gtfs_travel_summary_oracle() -> str:
+    return f"""
+WITH {_GTFS_CTE},
+sc AS (SELECT service_id, COUNT(DISTINCT d) AS sc FROM active
+       GROUP BY service_id),
+mult AS (SELECT trip_id,
+                CASE WHEN trip_id % 7 = 0 THEN 6 ELSE 1 END AS multiplier
+         FROM trips),
+valid AS (
+  SELECT l.stop_id AS from_stop_id, l.next_stop_id AS to_stop_id,
+         l.next_arrival_time_sec - l.departure_time_sec AS tt,
+         s.sc * m.multiplier AS scnt
+  FROM legs l JOIN trips t USING (trip_id)
+  JOIN sc s ON s.service_id = t.service_id
+  JOIN mult m ON m.trip_id = l.trip_id
+  WHERE l.next_stop_id IS NOT NULL
+    AND l.next_arrival_time_sec - l.departure_time_sec > 0 AND s.sc > 0)
+SELECT CAST(from_stop_id AS BIGINT) AS from_stop_id,
+       CAST(to_stop_id AS BIGINT) AS to_stop_id,
+       CAST(floor(CAST(SUM(tt * scnt) AS BIGINT)
+                  / CAST(SUM(scnt) AS BIGINT) * 1000) AS BIGINT)
+           AS travel_time_q,
+       CAST(SUM(scnt) AS BIGINT) AS frequency
+FROM valid GROUP BY from_stop_id, to_stop_id
+"""
+
+
 _SPATIAL_QUERIES = {
     "knn_graph": (q_knn, _knn_oracle),
     "fixed_radius_graph": (q_fixed_radius, _radius_oracle),
@@ -881,6 +1048,9 @@ _SPATIAL_QUERIES = {
                         lambda: _contiguity_oracle("rook")),
     "tessellation_enclosed": (q_tessellation_enclosed,
                               _tessellation_enclosed_oracle),
+    "gtfs_od_pairs": (q_gtfs_od_pairs, _gtfs_od_oracle),
+    "gtfs_travel_summary": (q_gtfs_travel_summary,
+                            _gtfs_travel_summary_oracle),
 }
 
 
