@@ -34,11 +34,50 @@ def delaunay_edges(pts: np.ndarray) -> set[tuple[int, int]]:
 
 
 def _triangulate(pts: np.ndarray) -> list[tuple[int, int, int]]:
+    """BW with a hole-detecting retry ladder: a super-triangle that is not
+    far enough outside every TRUE circumcircle (near-collinear hull slivers
+    can have circumradii of many times the data extent) absorbs those
+    triangles, leaving a coverage hole near the hull after the super
+    vertices are dropped.  Detect by comparing the triangulated area to the
+    convex-hull area and retry with a 64× farther super-triangle (capped —
+    beyond ~1e6× extent the in-circle arithmetic itself degrades, the
+    documented precision bound: sub-millimetre hull sagittas at city scale
+    are below coordinate noise anyway)."""
+    scale = 20.0
+    for _ in range(4):
+        tris = _bw_once(pts, scale)
+        if _covers_hull(pts, tris):
+            return tris
+        scale *= 64.0
+    return tris
+
+
+def _covers_hull(pts: np.ndarray, tris: list) -> bool:
+    if len(pts) < 3:
+        return True
+    h = hull_chain(pts, keep_collinear=False)
+    H = pts[h]
+    hx, hy = H[:, 0], H[:, 1]
+    hull_area = 0.5 * abs(float(np.sum(hx * np.roll(hy, -1)
+                                       - np.roll(hx, -1) * hy)))
+    if not tris:
+        return hull_area <= 1e-12
+    T = np.array(tris, dtype=np.int64)
+    a, b, c = pts[T[:, 0]], pts[T[:, 1]], pts[T[:, 2]]
+    areas = 0.5 * np.abs((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                         - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+    return float(areas.sum()) >= hull_area * (1.0 - 1e-9)
+
+
+def _bw_once(pts: np.ndarray, super_scale: float) -> list[tuple[int, int, int]]:
     n = len(pts)
-    # super-triangle generously containing everything
+    # super-triangle containing everything, at ``super_scale`` × extent
     cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
     r = max(np.abs(pts - [cx, cy]).max() * 4.0, 1.0)
-    sp = np.array([[cx - 20 * r, cy - r], [cx + 20 * r, cy - r], [cx, cy + 20 * r]])
+    s = super_scale
+    sp = np.array([[cx - s * r, cy - r * s / 20.0],
+                   [cx + s * r, cy - r * s / 20.0],
+                   [cx, cy + s * r]])
     P = np.vstack([pts, sp])
     s0, s1, s2 = n, n + 1, n + 2
 
@@ -91,3 +130,34 @@ def _circum(P: np.ndarray, tris: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     cc = np.column_stack([ux + a[:, 0], uy + a[:, 1]])
     rr = ux * ux + uy * uy
     return cc, rr
+
+
+def hull_chain(pts: np.ndarray, *, keep_collinear: bool = True) -> np.ndarray:
+    """Convex hull (Andrew monotone chain) as CCW vertex INDICES into
+    ``pts``; with ``keep_collinear`` points lying on hull edges are kept —
+    the distributed-Delaunay certification needs every boundary point."""
+    n = len(pts)
+    if n <= 2:
+        return np.arange(n)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+
+    def cross(o, a, b):
+        return ((pts[a, 0] - pts[o, 0]) * (pts[b, 1] - pts[o, 1])
+                - (pts[a, 1] - pts[o, 1]) * (pts[b, 0] - pts[o, 0]))
+
+    thresh = 0.0
+    def build(seq):
+        out = []
+        for i in seq:
+            while len(out) >= 2:
+                c = cross(out[-2], out[-1], i)
+                if c < thresh or (not keep_collinear and c == 0.0):
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = build(order)
+    upper = build(order[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.int64)

@@ -473,29 +473,99 @@ def _empty_region_graph(points: DataFrame, r_cand: float,
                            "u long, v long, weight double"))
 
 
-def gabriel_graph(points: DataFrame, *, r_cand: float,
+def _witness_filter_exact(points: DataFrame, cand: DataFrame, mode: str,
+                          cell_size: float | None) -> DataFrame:
+    """Kill candidate edges invaded by a witness in the open diametral disc
+    (gabriel) or disc∪lune (rng) — exact, unbounded, all-JVM: per-candidate
+    disc/lune bbox → cell cover explode → equi-join with bucketed points →
+    column-expression predicate → anti-join.  A surviving (empty-region)
+    edge's bbox holds ~no points, so even domain-spanning candidates from
+    sparse gaps cost almost nothing."""
+    if cell_size is None:
+        cell_size = estimate_knn_cell(points.count(), 8)
+    B = float(cell_size)
+    pts = with_cell(points, cell_size=B).select(
+        F.col("node_id").alias("w"), F.col("x").alias("wx"),
+        F.col("y").alias("wy"), F.col("cell").alias("wcell"))
+    if mode == "gabriel":
+        x0 = (F.col("ux") + F.col("vx")) / 2 - F.col("dist") / 2
+        x1 = (F.col("ux") + F.col("vx")) / 2 + F.col("dist") / 2
+        y0 = (F.col("uy") + F.col("vy")) / 2 - F.col("dist") / 2
+        y1 = (F.col("uy") + F.col("vy")) / 2 + F.col("dist") / 2
+    else:   # lune ⊆ intersection of the two radius-d discs
+        x0 = F.greatest("ux", "vx") - F.col("dist")
+        x1 = F.least("ux", "vx") + F.col("dist")
+        y0 = F.greatest("uy", "vy") - F.col("dist")
+        y1 = F.least("uy", "vy") + F.col("dist")
+    cover = explode_cells_in_box(cand, x0, y0, x1, y1, cell_size=B)
+    wit = (cover.join(pts, cover.qcell == pts.wcell)
+           .where((F.col("w") != F.col("u")) & (F.col("w") != F.col("v"))))
+    disc = ((F.col("ux") - F.col("wx")) * (F.col("vx") - F.col("wx"))
+            + (F.col("uy") - F.col("wy")) * (F.col("vy") - F.col("wy"))) < 0
+    if mode == "rng":
+        d2 = F.col("dist") * F.col("dist")
+        thr = d2 - F.lit(_EPS64 * 64.0) * F.greatest(d2, F.lit(1.0))
+        du2 = ((F.col("ux") - F.col("wx")) * (F.col("ux") - F.col("wx"))
+               + (F.col("uy") - F.col("wy")) * (F.col("uy") - F.col("wy")))
+        dv2 = ((F.col("vx") - F.col("wx")) * (F.col("vx") - F.col("wx"))
+               + (F.col("vy") - F.col("wy")) * (F.col("vy") - F.col("wy")))
+        pred = disc | ((du2 < thr) & (dv2 < thr))
+    else:
+        pred = disc
+    invaded = wit.where(pred).select("u", "v").dropDuplicates()
+    return (cand.join(invaded, ["u", "v"], "left_anti")
+            .select("u", "v", F.col("dist").alias("weight")))
+
+
+def _delaunay_with_coords(points: DataFrame, **kw) -> DataFrame:
+    e = delaunay_graph(points, **kw)
+    a = points.select(F.col("node_id").alias("u"), F.col("x").alias("ux"),
+                      F.col("y").alias("uy"))
+    b = points.select(F.col("node_id").alias("v"), F.col("x").alias("vx"),
+                      F.col("y").alias("vy"))
+    return e.join(a, "u").join(b, "v") \
+        .select("u", "v", "ux", "uy", "vx", "vy",
+                F.col("weight").alias("dist"))
+
+
+def gabriel_graph(points: DataFrame, *, r_cand: float | None = None,
                   cell_size: float | None = None) -> DataFrame:
-    """Gabriel graph, radius-bounded variant: among candidate pairs with
-    d(u,v) ≤ r_cand, keep (u,v) iff no witness w has (u−w)·(v−w) < 0
+    """Gabriel graph: keep (u,v) iff no witness w has (u−w)·(v−w) < 0
     (open diametral disc empty — the reference's einsum test,
     proximity.py:1071-1078).
 
-    Exactness: every Gabriel edge with length ≤ r_cand is found; the bound
-    is the distributed candidate-pruning analogue of the reference's
-    Delaunay pruning and is the documented contract of this variant (the
-    unbounded edge set equals this one whenever the point set has no empty
-    disc of diameter > r_cand — true for any density-bounded corpus).
+    ``r_cand=None`` (default) is the exact UNBOUNDED contract on any input:
+    candidates come from the Delaunay triangulation (Gabriel ⊆ Delaunay —
+    exactly the reference's own pruning, proximity.py:1061-1069; distributed
+    past driver scale) and the witness test runs as a JVM cell-cover join.
+    Passing ``r_cand`` selects the radius-bounded fast kernel: every Gabriel
+    edge with length ≤ r_cand is found — equal to the unbounded set whenever
+    the data has no empty disc of diameter > r_cand (any density-bounded
+    corpus; the gate/bench path).
     """
+    if r_cand is None:
+        return _witness_filter_exact(points,
+                                     _delaunay_with_coords(points),
+                                     "gabriel", cell_size)
     return _empty_region_graph(points, r_cand, cell_size, "gabriel")
 
 
-def relative_neighborhood_graph(points: DataFrame, *, r_cand: float,
+def relative_neighborhood_graph(points: DataFrame, *,
+                                r_cand: float | None = None,
                                 cell_size: float | None = None) -> DataFrame:
-    """Relative-neighborhood graph, radius-bounded variant.  Replicates the
-    reference's exact predicate chain (proximity.py:1171-1181): a candidate
-    dies if any witness has (u−w)·(v−w) < 0 (disc test) **or** lies in the
-    lune — d(u,w)² < thr and d(v,w)² < thr with
-    thr = d(u,v)² − eps·max(d(u,v)²,1)·64."""
+    """Relative-neighborhood graph.  Replicates the reference's exact
+    predicate chain (proximity.py:1171-1181): a candidate dies if any
+    witness has (u−w)·(v−w) < 0 (disc test) **or** lies in the lune —
+    d(u,w)² < thr and d(v,w)² < thr with thr = d(u,v)² −
+    eps·max(d(u,v)²,1)·64.
+
+    ``r_cand=None`` (default) = exact unbounded via Delaunay candidates
+    (RNG ⊆ Gabriel ⊆ Delaunay) + JVM witness join; explicit ``r_cand`` =
+    radius-bounded fast kernel (see :func:`gabriel_graph`)."""
+    if r_cand is None:
+        return _witness_filter_exact(points,
+                                     _delaunay_with_coords(points),
+                                     "rng", cell_size)
     return _empty_region_graph(points, r_cand, cell_size, "rng")
 
 
@@ -524,26 +594,30 @@ def waxman_graph(points: DataFrame, beta: float, r0: float, seed: int, *,
                 .select("u", "v", F.col("dist").alias("weight")))
 
 
-def delaunay_graph(points: DataFrame, *, driver_limit: int = 200_000) -> DataFrame:
+def delaunay_graph(points: DataFrame, *, driver_switch: int = 20_000,
+                   tile_points: int = 2500, max_rounds: int = 6) -> DataFrame:
     """Delaunay triangulation edges (reference proximity.py:890-982: all
     2-combinations of every simplex, deduped).
 
-    Execution: the triangulation itself runs on gathered coordinates with
-    the pure-numpy Bowyer–Watson in ``geo.delaunay`` — the exact path for
-    street-network/test scale, mirroring the reference's single-process
-    scipy call.  (The distributed per-tile + halo-certified variant is the
-    flagged follow-up; Gabriel/RNG — the Delaunay *consumers* on the 100 TB
-    path — already run fully distributed via the bounded-candidate kernels
-    above, which is the same pruning role Delaunay plays in the reference.)
+    Dispatch: up to ``driver_switch`` points the exact gathered Bowyer–Watson
+    runs in one task (street-network/test scale, mirroring the reference's
+    single-process scipy call); beyond it the per-tile certified distributed
+    path (``delaunay_graph_distributed``) takes over — the round-1 hard cap
+    is gone.
     """
+    n = points.count()
+    if n > driver_switch:
+        return delaunay_graph_distributed(points, tile_points=tile_points,
+                                          max_rounds=max_rounds)
+    return _delaunay_driver(points)
+
+
+def _delaunay_driver(points: DataFrame) -> DataFrame:
     import numpy as np
 
     from ..geo.delaunay import delaunay_edges
 
     rows = points.select("node_id", "x", "y").collect()
-    if len(rows) > driver_limit:
-        raise ValueError(f"delaunay_graph driver path capped at {driver_limit} "
-                         "points; use gabriel_graph/rng bounded kernels at scale")
     ids = np.array([r["node_id"] for r in rows], dtype=np.int64)
     pts = np.array([[r["x"], r["y"]] for r in rows])
     order = np.argsort(ids, kind="stable")
@@ -560,15 +634,296 @@ def delaunay_graph(points: DataFrame, *, driver_limit: int = 200_000) -> DataFra
                 "weight")
 
 
+def _global_hull(points: DataFrame) -> list[tuple[int, float, float]]:
+    """Global convex hull (collinear-inclusive, CCW) as [(node_id, x, y)]:
+    per-partition monotone chains → driver merge.  A point on the global
+    hull boundary is on the boundary of every subset containing it, so the
+    per-partition candidates are complete; hulls are O(√n)-tiny."""
+    import numpy as np
+
+    from ..geo.delaunay import hull_chain
+
+    def part(it):
+        import pandas as pd
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
+            h = hull_chain(P)
+            yield pdf.iloc[h][["node_id", "x", "y"]]
+
+    cand = points.select("node_id", "x", "y") \
+        .mapInPandas(part, "node_id long, x double, y double").collect()
+    if not cand:
+        return []
+    ids = np.array([r["node_id"] for r in cand], dtype=np.int64)
+    P = np.array([[r["x"], r["y"]] for r in cand])
+    h = hull_chain(P)
+    return [(int(ids[i]), float(P[i, 0]), float(P[i, 1])) for i in h]
+
+
+def delaunay_graph_distributed(points: DataFrame, *, tile_points: int = 2500,
+                               max_rounds: int = 6,
+                               debug: bool = False) -> DataFrame:
+    """Exact distributed Delaunay in ONE data pass + one boundary pass
+    (SURVEY §7.3, redesigned after the round-2 escalation experiments).
+
+    Per-point settling: tile T triangulates its 3×3-halo gather; an inT
+    point p is SETTLED iff (a) p is strictly interior to the gather's local
+    hull, and (b) every local triangle incident to p is globally empty —
+    proven either by circumcircle ⊆ gathered region (local emptiness ⇒
+    global) or by an explicit DISTRIBUTED in-circle invader join.  A settled
+    point's local fan then equals its global Delaunay fan (a full-2π sector
+    tiled by globally-valid triangles is unique), so every triangle incident
+    to a settled point is global and every global triangle incident to it is
+    present — tiles emit all triangles anchored at settled points.
+
+    The unsettled remainder U (points on their gather's local hull — in
+    practice only the ragged data boundary — plus vertices of refuted
+    triangles) is tiny: a global triangle can be missed only if ALL THREE
+    vertices are unsettled, and any such triangle has an empty circumcircle,
+    hence appears in the Delaunay triangulation of the SUBSET U (empty
+    circles restrict to subsets).  One driver-side Bowyer–Watson over U
+    (O(boundary) ≈ O(√n) points) generates those candidates and the same
+    distributed invader join verifies them exactly.
+
+    Scale shape: one applyInPandas over tiles (~``tile_points`` gathered
+    points each, 9× ring-explode shuffle), two cell-cover verify joins, no
+    full gather anywhere; U and the per-tile hull chains are the only
+    driver-side artifacts.  (``max_rounds`` retained for API compatibility;
+    the pass structure is fixed.)
+    """
+    import math
+
+    import numpy as np
+
+    from ..index import CELL_OFFSET, CELL_SHIFT, explode_ring, with_cell
+
+    spark = points.sparkSession
+    pts = points.select("node_id", "x", "y").persist()
+    n = pts.count()
+    if n <= 3 or n <= tile_points:
+        return _delaunay_driver(pts)
+    bb = pts.agg(F.min("x"), F.min("y"), F.max("x"), F.max("y")).head()
+    x0, y0, x1, y1 = [float(v) for v in bb]
+    width, height = max(x1 - x0, 1e-9), max(y1 - y0, 1e-9)
+    # size tiles so the 3×3 gather ≈ tile_points
+    ts = max(math.sqrt(width * height * tile_points / n) / 3.0, 1e-9)
+    bc = spark.sparkContext.broadcast(((x0, y0, x1, y1), ts))
+
+    cells = with_cell(pts, cell_size=ts).persist()
+    occupied = cells.select(F.col("cell").alias("tile")).dropDuplicates()
+
+    # kind 0: anchored triangle (ta,tb,tc sorted; anchor = settled-so-far
+    #         inT vertex); kind 1: unsettled point id (in ``ta``);
+    # kind 2: unproven triangle for the distributed verify join
+    out_schema = ("kind int, ta long, tb long, tc long, anchor long, "
+                  "ccx double, ccy double, rad double, rad2 double")
+
+    def tile_udf(key, pdf):
+        import pandas as pd
+
+        from ..geo.delaunay import _circum, _triangulate, hull_chain
+        (bx0, by0, bx1, by1), ts_b = bc.value
+        tile = int(key[0])
+        tcx = tile // CELL_SHIFT - CELL_OFFSET
+        tcy = tile % CELL_SHIFT - CELL_OFFSET
+        tx0, ty0 = tcx * ts_b, tcy * ts_b
+        tx1, ty1 = tx0 + ts_b, ty0 + ts_b
+        halo = ts_b * (1 - 1e-12)
+        cols = ["kind", "ta", "tb", "tc", "anchor",
+                "ccx", "ccy", "rad", "rad2"]
+
+        def frame(rows):
+            return pd.DataFrame(rows, columns=cols)
+
+        ids = pdf["node_id"].to_numpy(np.int64)
+        P = pdf[["x", "y"]].to_numpy(np.float64)
+        inT = pdf["_in_t"].to_numpy(bool)
+        if not inT.any():
+            return frame([])
+        rows = []
+        if len(P) < 3:
+            for p in ids[inT]:
+                rows.append((1, int(p), None, None, None,
+                             None, None, None, None))
+            return frame(rows)
+        try:
+            tris = np.array(_triangulate(P), dtype=np.int64)
+        except RuntimeError:
+            for p in ids[inT]:
+                rows.append((1, int(p), None, None, None,
+                             None, None, None, None))
+            return frame(rows)
+        if len(tris) == 0:
+            for p in ids[inT]:
+                rows.append((1, int(p), None, None, None,
+                             None, None, None, None))
+            return frame(rows)
+        cc, rr2 = _circum(P, tris)
+        rad = np.sqrt(np.maximum(rr2, 0.0))
+
+        # unsettled: inT points on the gather's local hull
+        lh = set(int(v) for v in hull_chain(P))
+        settled = np.zeros(len(P), dtype=bool)
+        for p in np.nonzero(inT)[0]:
+            if int(p) in lh:
+                rows.append((1, int(ids[p]), None, None, None,
+                             None, None, None, None))
+            else:
+                settled[p] = True
+
+        # circumcircle certification for triangles touching inT points;
+        # the unproven remainder goes to the distributed verify join
+        touch = inT[tris].any(axis=1)
+        ex0, ey0 = tx0 - halo, ty0 - halo
+        ex1, ey1 = tx1 + halo, ty1 + halo
+        cx0 = np.maximum(cc[:, 0] - rad, bx0)
+        cy0 = np.maximum(cc[:, 1] - rad, by0)
+        cx1 = np.minimum(cc[:, 0] + rad, bx1)
+        cy1 = np.minimum(cc[:, 1] + rad, by1)
+        certified = ((cx0 >= ex0) & (cy0 >= ey0)
+                     & (cx1 <= ex1) & (cy1 <= ey1)) \
+            | (cx0 > cx1) | (cy0 > cy1)
+        for t_idx in np.nonzero(touch & ~certified)[0]:
+            a, b, c = sorted(int(ids[v]) for v in tris[t_idx])
+            rows.append((2, a, b, c, None,
+                         float(cc[t_idx, 0]), float(cc[t_idx, 1]),
+                         float(rad[t_idx]), float(rr2[t_idx])))
+
+        # anchored triangles: every triangle incident to a settled inT point
+        anchored = settled[tris]
+        for t_idx in np.nonzero(anchored.any(axis=1))[0]:
+            t = tris[t_idx]
+            a, b, c = sorted(int(ids[v]) for v in t)
+            for v in t[anchored[t_idx]]:
+                rows.append((0, a, b, c, int(ids[v]),
+                             None, None, None, None))
+        return frame(rows)
+
+    gathered = explode_ring(cells, ring=1) \
+        .withColumnRenamed("qcell", "tile") \
+        .withColumn("_in_t", F.col("cell") == F.col("tile")) \
+        .join(occupied, "tile", "left_semi")
+    res = gathered.select("tile", "node_id", "x", "y", "_in_t") \
+        .groupBy("tile").applyInPandas(tile_udf, out_schema).persist()
+
+    def verify_invaded(tri_df):
+        """Distributed in-circle invader join: triangles (ta,tb,tc,ccx,ccy,
+        rad,rad2) → the refuted subset (any non-vertex point strictly
+        inside the circumcircle)."""
+        lo_x = F.greatest(F.col("ccx") - F.col("rad"), F.lit(x0))
+        hi_x = F.least(F.col("ccx") + F.col("rad"), F.lit(x1))
+        lo_y = F.greatest(F.col("ccy") - F.col("rad"), F.lit(y0))
+        hi_y = F.least(F.col("ccy") + F.col("rad"), F.lit(y1))
+        t = tri_df.where((lo_x <= hi_x) & (lo_y <= hi_y))
+        cover = explode_cells_in_box(t, lo_x, lo_y, hi_x, hi_y, cell_size=ts)
+        wpts = cells.select(F.col("node_id").alias("_w"),
+                            F.col("x").alias("_wx"),
+                            F.col("y").alias("_wy"),
+                            F.col("cell").alias("_wcell"))
+        d2 = ((F.col("_wx") - F.col("ccx")) * (F.col("_wx") - F.col("ccx"))
+              + (F.col("_wy") - F.col("ccy")) * (F.col("_wy") - F.col("ccy")))
+        return (cover.join(wpts, cover.qcell == wpts._wcell)
+                .where((F.col("_w") != F.col("ta"))
+                       & (F.col("_w") != F.col("tb"))
+                       & (F.col("_w") != F.col("tc")))
+                .where(d2 < F.col("rad2") * (1 - 1e-12))
+                .select("ta", "tb", "tc").dropDuplicates())
+
+    unproven = res.where(F.col("kind") == 2) \
+        .select("ta", "tb", "tc", "ccx", "ccy", "rad", "rad2") \
+        .dropDuplicates(["ta", "tb", "tc"]).persist()
+    invaded = verify_invaded(unproven).persist()
+
+    # U = locally-unsettled points ∪ vertices of refuted triangles
+    u_pts = res.where(F.col("kind") == 1).select(F.col("ta").alias("pid"))
+    u_ref = invaded.select(F.col("ta").alias("pid")) \
+        .unionByName(invaded.select(F.col("tb").alias("pid"))) \
+        .unionByName(invaded.select(F.col("tc").alias("pid")))
+    U = u_pts.unionByName(u_ref).dropDuplicates().persist()
+    n_u = U.count()
+    if debug:
+        print(f"[delaunay] unproven={unproven.count()} "
+              f"refuted={invaded.count()} unsettled={n_u}", flush=True)
+
+    # anchored triangles whose anchor stayed settled
+    anchored = (res.where(F.col("kind") == 0)
+                .join(U.withColumnRenamed("pid", "anchor"),
+                      "anchor", "left_anti")
+                .select("ta", "tb", "tc").dropDuplicates())
+
+    # boundary pass: DT(U) candidates at the driver, verified distributedly
+    extra = None
+    if n_u >= 2:
+        urows = pts.join(U.withColumnRenamed("pid", "node_id"),
+                         "node_id", "left_semi").collect()
+        uids = np.array([r["node_id"] for r in urows], dtype=np.int64)
+        uP = np.array([[r["x"], r["y"]] for r in urows])
+        order = np.argsort(uids, kind="stable")
+        uids, uP = uids[order], uP[order]
+        from ..geo.delaunay import _circum, _triangulate
+        if n_u == 2:
+            cand_rows = []
+            tris_u = []
+        else:
+            tris_u = np.array(_triangulate(uP), dtype=np.int64)
+        if len(tris_u):
+            ucc, urr2 = _circum(uP, tris_u)
+            urad = np.sqrt(np.maximum(urr2, 0.0))
+            cand_rows = []
+            for i, t in enumerate(tris_u):
+                a, b, c = sorted(int(uids[v]) for v in t)
+                cand_rows.append((a, b, c, float(ucc[i, 0]), float(ucc[i, 1]),
+                                  float(urad[i]), float(urr2[i])))
+        if cand_rows:
+            cand_df = spark.createDataFrame(
+                cand_rows, "ta long, tb long, tc long, ccx double, "
+                           "ccy double, rad double, rad2 double") \
+                .dropDuplicates(["ta", "tb", "tc"])
+            bad_u = verify_invaded(cand_df)
+            extra = cand_df.join(bad_u, ["ta", "tb", "tc"], "left_anti") \
+                .select("ta", "tb", "tc")
+        # n_u == 2: the pair's edge is global iff it survives everywhere —
+        # covered by the anchored fans of settled neighbors; skip
+
+    tris_all = anchored if extra is None else \
+        anchored.unionByName(extra).dropDuplicates(["ta", "tb", "tc"])
+    e = (tris_all.select(F.col("ta").alias("u"), F.col("tb").alias("v"))
+         .unionByName(tris_all.select(F.col("ta").alias("u"),
+                                      F.col("tc").alias("v")))
+         .unionByName(tris_all.select(F.col("tb").alias("u"),
+                                      F.col("tc").alias("v")))
+         .dropDuplicates())
+    a = pts.select(F.col("node_id").alias("u"), F.col("x").alias("_ux"),
+                   F.col("y").alias("_uy"))
+    b2 = pts.select(F.col("node_id").alias("v"), F.col("x").alias("_vx"),
+                    F.col("y").alias("_vy"))
+    return (e.join(a, "u").join(b2, "v")
+            .select("u", "v",
+                    F.sqrt((F.col("_ux") - F.col("_vx"))
+                           * (F.col("_ux") - F.col("_vx"))
+                           + (F.col("_uy") - F.col("_vy"))
+                           * (F.col("_uy") - F.col("_vy"))).alias("weight")))
+
+
 def euclidean_minimum_spanning_tree(points: DataFrame, *,
-                                    driver_limit: int = 200_000) -> DataFrame:
-    """EMST (reference proximity.py:1187-1300): Kruskal over the Delaunay
-    candidate set (EMST ⊆ Delaunay for the euclidean metric,
-    proximity.py:1279-1285).  Union-find runs at the driver over the O(n)
-    Delaunay edge list — the distributed analogue (Borůvka over the edge
-    DataFrame) only pays off past driver scale."""
-    cand = delaunay_graph(points, driver_limit=driver_limit) \
-        .collect()
+                                    driver_switch: int = 20_000,
+                                    tile_points: int = 2500) -> DataFrame:
+    """EMST (reference proximity.py:1187-1300) over the Delaunay candidate
+    set (EMST ⊆ Delaunay for the euclidean metric, proximity.py:1279-1285).
+
+    Dispatch mirrors ``delaunay_graph``: up to ``driver_switch`` points the
+    O(n α(n)) Kruskal union-find runs in one pass at the driver; beyond it
+    both the Delaunay candidates and the spanning forest are fully
+    distributed (per-tile certified Delaunay → DataFrame Borůvka,
+    ``topology.minimum_spanning_forest``) — the round-1 cap is gone."""
+    n = points.count()
+    if n > driver_switch:
+        from .topology import minimum_spanning_forest
+        cand = delaunay_graph_distributed(points, tile_points=tile_points)
+        return minimum_spanning_forest(cand)
+    cand = _delaunay_driver(points).collect()
     cand.sort(key=lambda r: (r["weight"], r["u"], r["v"]))
     parent: dict = {}
 
