@@ -399,10 +399,57 @@ def _empty_graph_kernel(r_cand: float, block: float, mode: str):
             """Edges (indices into the sorted arrays) killed by any witness
             in widx.  Disc test as ONE fused GEMM: G = (−(U+V) | 1)·(Wᵀ ;
             s_w) ⇒ dot(e,w) = G[e,w] + c_e[e]; the m×c matrix is written
-            once by BLAS and read once by the min-reduce."""
+            once by BLAS and read once by the min-reduce.
+
+            Gabriel fast path: the dot test is shift-invariant, so in
+            witness-centroid-shifted coordinates the magnitudes are block-
+            sized and a FLOAT32 GEMM (half the memory traffic of the
+            bandwidth-bound hot loop) decides everything outside a
+            rigorously-bounded error band; band rows re-run in float64.
+            """
             if len(sel) == 0 or len(widx) == 0:
                 return np.zeros(len(sel), dtype=bool)
             Ue, Ve = W[iu_s[sel]], W[iv_s[sel]]
+            if mode == "gabriel":
+                c0 = Ws[widx].mean(axis=0)
+                Ues = Ue - c0
+                Ves = Ve - c0
+                Wsx = Ws[widx] - c0
+                c_es = Ues[:, 0] * Ves[:, 0] + Ues[:, 1] * Ves[:, 1]
+                X = np.empty((len(sel), 3), dtype=np.float32)
+                X[:, 0] = -(Ues[:, 0] + Ves[:, 0])
+                X[:, 1] = -(Ues[:, 1] + Ves[:, 1])
+                X[:, 2] = 1.0
+                Y = np.empty((3, len(widx)), dtype=np.float32)
+                Y[0] = Wsx[:, 0]
+                Y[1] = Wsx[:, 1]
+                Y[2] = Wsx[:, 0] * Wsx[:, 0] + Wsx[:, 1] * Wsx[:, 1]
+                G32 = X @ Y
+                mask_endpoints(G32, sel, widx, iu_s)
+                mask_endpoints(G32, sel, widx, iv_s)
+                m32 = G32.min(axis=1).astype(np.float64)
+                gx = float(np.abs(X).max())
+                gy = float(np.abs(Y).max())
+                gamma = 32.0 * 5.96e-8 * gx * gy
+                bad = m32 < (-c_es - gamma)
+                band = (~bad) & (m32 <= -c_es + gamma)
+                if band.any():
+                    bsel = sel[band]
+                    Ueb, Veb = W[iu_s[bsel]] - c0, W[iv_s[bsel]] - c0
+                    c_eb = Ueb[:, 0] * Veb[:, 0] + Ueb[:, 1] * Veb[:, 1]
+                    Xb = np.empty((len(bsel), 3))
+                    Xb[:, 0] = -(Ueb[:, 0] + Veb[:, 0])
+                    Xb[:, 1] = -(Ueb[:, 1] + Veb[:, 1])
+                    Xb[:, 2] = 1.0
+                    Yb = np.empty((3, len(widx)))
+                    Yb[0] = Wsx[:, 0]
+                    Yb[1] = Wsx[:, 1]
+                    Yb[2] = Wsx[:, 0] * Wsx[:, 0] + Wsx[:, 1] * Wsx[:, 1]
+                    Gb = Xb @ Yb
+                    mask_endpoints(Gb, bsel, widx, iu_s)
+                    mask_endpoints(Gb, bsel, widx, iv_s)
+                    bad[band] = Gb.min(axis=1) < -c_eb
+                return bad
             c_e = Ue[:, 0] * Ve[:, 0] + Ue[:, 1] * Ve[:, 1]
             X = np.empty((len(sel), 3))
             X[:, 0] = -(Ue[:, 0] + Ve[:, 0])
