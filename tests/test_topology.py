@@ -74,3 +74,30 @@ def test_connected_components_and_prune(spark):
                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
     kept = {(r.src, r.dst) for r in remove_isolated_components(e).collect()}
     assert kept == {(20, 21), (21, 22), (22, 23), (23, 24)}
+
+
+def test_node_link_round_trip(spark):
+    """U7 driver collectors: to_node_link ∘ from_node_link is the identity
+    on (ids, attrs); the max_rows guard refuses planet-sized collects."""
+    import pytest
+
+    from city2graph_spark.operators.conversion import (
+        from_node_link,
+        to_node_link,
+    )
+    nodes = spark.createDataFrame([(0, 1.0), (1, 2.0), (2, 3.0)],
+                                  "node_id long, score double")
+    edges = spark.createDataFrame([(0, 1, 5.0), (1, 2, 7.0)],
+                                  "src long, dst long, weight double")
+    nl = to_node_link(nodes, edges)
+    assert {n["id"] for n in nl["nodes"]} == {0, 1, 2}
+    assert {(l["source"], l["target"], l["weight"])
+            for l in nl["links"]} == {(0, 1, 5.0), (1, 2, 7.0)}
+    n2, e2 = from_node_link(spark, nl)
+    assert {r.node_id for r in n2.collect()} == {0, 1, 2}
+    assert {(r.src, r.dst) for r in e2.collect()} == {(0, 1), (1, 2)}
+    with pytest.raises(ValueError):
+        to_node_link(None, edges, max_rows=1)
+    # nodes=None derives the id set from the links
+    nl2 = to_node_link(None, edges)
+    assert {n["id"] for n in nl2["nodes"]} == {0, 1, 2}
