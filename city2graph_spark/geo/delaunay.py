@@ -33,7 +33,8 @@ def delaunay_edges(pts: np.ndarray) -> set[tuple[int, int]]:
     return edges
 
 
-def _triangulate(pts: np.ndarray) -> list[tuple[int, int, int]]:
+def _triangulate(pts: np.ndarray,
+                 check_cover: bool = True) -> list[tuple[int, int, int]]:
     """BW with a hole-detecting retry ladder: a super-triangle that is not
     far enough outside every TRUE circumcircle (near-collinear hull slivers
     can have circumradii of many times the data extent) absorbs those
@@ -42,14 +43,42 @@ def _triangulate(pts: np.ndarray) -> list[tuple[int, int, int]]:
     convex-hull area and retry with a 64× farther super-triangle (capped —
     beyond ~1e6× extent the in-circle arithmetic itself degrades, the
     documented precision bound: sub-millimetre hull sagittas at city scale
-    are below coordinate noise anyway)."""
+    are below coordinate noise anyway).  A retry that degrades numerically
+    (no-cavity) falls back to the best attempt so far.
+
+    ``check_cover=False`` skips the ladder (one attempt) — right for the
+    mirror-trick Voronoi input, whose hull region is all reflections and
+    whose cells never touch it."""
     scale = 20.0
-    for _ in range(4):
-        tris = _bw_once(pts, scale)
+    best = None
+    best_area = -1.0
+    for _ in range(4 if check_cover else 1):
+        try:
+            tris = _bw_once(pts, scale)
+        except RuntimeError:
+            break   # precision degraded at this scale — keep best-so-far
+        if not check_cover:
+            return tris
+        area = _covered_area(pts, tris)
+        if area > best_area:
+            best, best_area = tris, area
         if _covers_hull(pts, tris):
             return tris
         scale *= 64.0
-    return tris
+    if best is None:
+        raise RuntimeError("Bowyer-Watson failed at every super-triangle "
+                           "scale (degenerate input)")
+    return best
+
+
+def _covered_area(pts: np.ndarray, tris: list) -> float:
+    if not tris:
+        return 0.0
+    T = np.array(tris, dtype=np.int64)
+    a, b, c = pts[T[:, 0]], pts[T[:, 1]], pts[T[:, 2]]
+    areas = 0.5 * np.abs((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                         - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+    return float(areas.sum())
 
 
 def _covers_hull(pts: np.ndarray, tris: list) -> bool:
@@ -62,11 +91,7 @@ def _covers_hull(pts: np.ndarray, tris: list) -> bool:
                                        - np.roll(hx, -1) * hy)))
     if not tris:
         return hull_area <= 1e-12
-    T = np.array(tris, dtype=np.int64)
-    a, b, c = pts[T[:, 0]], pts[T[:, 1]], pts[T[:, 2]]
-    areas = 0.5 * np.abs((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
-                         - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
-    return float(areas.sum()) >= hull_area * (1.0 - 1e-9)
+    return _covered_area(pts, tris) >= hull_area * (1.0 - 1e-9)
 
 
 def _bw_once(pts: np.ndarray, super_scale: float) -> list[tuple[int, int, int]]:

@@ -31,7 +31,10 @@ def voronoi_cells(sites: np.ndarray, bbox: tuple[float, float, float, float]
         np.column_stack([sites[:, 0], 2 * ymax - sites[:, 1]]),
     ])
     P = np.vstack([sites, refl])
-    tris = np.array(_triangulate(P), dtype=np.int64)
+    # check_cover=False: the gathered set's hull is all reflections; real
+    # sites' cells never touch it, and the hole-retry ladder can only lose
+    # precision on the mirror-expanded extent
+    tris = np.array(_triangulate(P, check_cover=False), dtype=np.int64)
     cc, _ = _circum(P, tris)
 
     incident: list[list[int]] = [[] for _ in range(n)]
