@@ -55,3 +55,48 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
          .outputMode(mode).start())
     q.processAllAvailable()
     return q
+
+
+def streaming_exact_dedup(events: DataFrame, *, key_col: str = "user_id",
+                          content_col: str = "props",
+                          id_col: str = "event_id") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the brief's
+    stateful-streaming primitive): per-key online EXACT dedup — only the
+    first occurrence of each content hash per key is emitted; the seen-hash
+    set rides in the group state across micro-batches.
+
+    This is the streaming twin of ``pipeline.dedup.exact_dedup``: backfill
+    runs the batch groupBy, live ingest runs this, and both agree on the
+    keeper set (first-seen by arrival order within the stream).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (f"{key_col} long, {id_col} long, content_hash string")
+    state_schema = "seen array<string>"
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        import hashlib
+
+        import pandas as pd
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            hashes = pdf[content_col].astype(str).map(
+                lambda s: hashlib.md5(s.encode()).hexdigest())
+            keep = []
+            for i, h in enumerate(hashes):
+                if h not in seen:
+                    seen.add(h)
+                    keep.append(i)
+            if keep:
+                sub = pdf.iloc[keep]
+                yield pd.DataFrame({
+                    key_col: sub[key_col].to_numpy(),
+                    id_col: sub[id_col].to_numpy(),
+                    "content_hash": hashes.iloc[keep].to_numpy()})
+        state.update((sorted(seen),))
+
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(dedup_fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -67,3 +67,45 @@ def test_load_gbfs(spark):
     assert rows["s1"] is not None and rows["s1"]["lon"] == -0.1
     assert rows["s3"] is None  # NULL-guard path (transportation.py:563-567)
     assert out["system_information"].count() == 1
+
+
+def test_validate_tables(spark):
+    """U8 validate_gdf analogue: one-agg-pass contract checks that list
+    every violation at once."""
+    import pytest
+
+    from city2graph_spark.validate import (
+        validate_edges,
+        validate_points,
+        validate_polygons,
+    )
+    good = spark.createDataFrame([(0, 1.0, 2.0), (1, 3.0, 4.0)],
+                                 "node_id long, x double, y double")
+    assert validate_points(good) is good
+    bad = spark.createDataFrame(
+        [(0, 1.0, 2.0), (0, float("nan"), 4.0), (None, 5.0, 6.0)],
+        "node_id long, x double, y double")
+    with pytest.raises(ValueError) as e:
+        validate_points(bad)
+    msg = str(e.value)
+    assert "duplicate ids" in msg and "null ids" in msg and "NaN" in msg
+
+    tri = [(7, 0, s, float(x), float(y)) for s, (x, y) in
+           enumerate([(0, 0), (1, 0), (0, 1)])]
+    pv = spark.createDataFrame(
+        tri, "poly_id long, ring long, seq long, x double, y double")
+    assert validate_polygons(pv) is pv
+    thin = spark.createDataFrame(
+        tri[:2], "poly_id long, ring long, seq long, x double, y double")
+    with pytest.raises(ValueError, match="exterior rings"):
+        validate_polygons(thin)
+
+    e_ok = spark.createDataFrame([(0, 1, 2.0)],
+                                 "src long, dst long, weight double")
+    assert validate_edges(e_ok, weight="weight") is e_ok
+    e_bad = spark.createDataFrame([(0, 0, -1.0), (None, 1, 2.0)],
+                                  "src long, dst long, weight double")
+    with pytest.raises(ValueError) as e2:
+        validate_edges(e_bad, weight="weight")
+    m2 = str(e2.value)
+    assert "self-loops" in m2 and "null endpoints" in m2 and "negative" in m2

@@ -140,3 +140,29 @@ def test_streaming_windows_match_batch(spark):
         assert got == want and len(got) > 0
     finally:
         q.stop()
+
+
+def test_streaming_stateful_dedup(spark):
+    """applyInPandasWithState custom operator: per-key first-seen dedup —
+    emitted set matches the batch exact-dedup keeper semantics."""
+    from city2graph_spark.streaming.windows import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_exact_dedup,
+    )
+    d = tempfile.mkdtemp()
+    shutil.copy(f"{SF}/events.parquet", f"{d}/events.parquet")
+    stream = read_event_stream(spark, d)
+    q = run_stream_to_memory(streaming_exact_dedup(stream), "dedup_out",
+                             mode="append")
+    try:
+        got = spark.sql("SELECT * FROM dedup_out").collect()
+        # one emitted row per (user_id, content hash)
+        keys = {(r.user_id, r.content_hash) for r in got}
+        assert len(keys) == len(got) > 0
+        batch = (spark.read.parquet(f"{d}/events.parquet")
+                 .groupBy("user_id", F.md5(F.col("props").cast("string"))
+                          .alias("h")).count())
+        assert batch.count() == len(got)
+    finally:
+        q.stop()
