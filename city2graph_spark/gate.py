@@ -770,6 +770,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann_lsh_candidates(emb)
 
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: OR-amplified LSH → JVM cosine rerank → per-probe
+    top-k (approximate by design — the seeded hyperplanes make it
+    deterministic and row-countable; recall vs brute force is asserted in
+    pytest)."""
+    from .pipeline.simsearch import ann_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk(emb, 3)
+
 def _derived_buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2m-square buildings on a deterministic lattice inside a 5×5 grid of
     1000m street enclosures: gx=id%5, gy=(id÷5)%5, x-offset from id÷25 —
@@ -1034,6 +1044,7 @@ _SPATIAL_QUERIES = {
     "waxman_graph": (q_waxman, _waxman_oracle),
     "embedding_topk": (q_embedding_topk, lambda: sql_embedding_topk("duckdb")),
     "ann_lsh": (q_ann_lsh, None),
+    "ann_topk": (q_ann_topk, None),
     "spans_extract": (q_spans_extract, _spans_extract_oracle),
     "segments_to_graph": (q_segments_to_graph, _segments_oracle),
     "dual_graph": (q_dual_graph, _dual_oracle),
