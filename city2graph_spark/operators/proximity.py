@@ -92,7 +92,12 @@ def _local_topk_kernel(k: int, metric: str, block_size: float):
         # exact per-point margin to the scanned 3×3 region boundary) so the
         # driver-side plan needs no full-size anchor join; probe coords are
         # emitted only on uncertified rows.
-        home = (rows["cell"] == rows["qcell"]).to_numpy()
+        # Salted hot blocks carry an explicit probe flag (the home copy is a
+        # probe in exactly ONE salt group but a candidate in all of them).
+        if "_probe" in rows.columns:
+            home = rows["_probe"].to_numpy(bool)
+        else:
+            home = (rows["cell"] == rows["qcell"]).to_numpy()
         if not home.any():
             return pd.DataFrame(empty)
         order = np.argsort(rows["node_id"].to_numpy(), kind="stable")
@@ -168,7 +173,8 @@ def _local_topk_kernel(k: int, metric: str, block_size: float):
 
 
 def knn_graph(points: DataFrame, k: int, *, cell_size: float,
-              metric: str = "euclidean", directed: bool = False) -> DataFrame:
+              metric: str = "euclidean", directed: bool = False,
+              salt_target: int = 100_000) -> DataFrame:
     """Exact k-nearest-neighbor graph over (node_id, x, y).
 
     Reference semantics (proximity.py:875-884): per node, k nearest by the
@@ -207,8 +213,28 @@ def knn_graph(points: DataFrame, k: int, *, cell_size: float,
     # must be non-negative (the derived/doc ids always are).
     cands = explode_ring(pts, ring=1, cx="cell_cx", cy="cell_cy", out="qcell") \
         .select("node_id", "x", "y", "cell", "qcell")
+    # urban-core skew guard: a superblock with more than ``salt_target``
+    # home points splits into ⌈count/salt_target⌉ salted sub-tasks — probes
+    # hash-partitioned across salts, candidates replicated to every salt, a
+    # per-row flag marks the one group where the home copy probes.  Result
+    # identical, task size bounded.  (AQE cannot split a single pandas
+    # group; this does.)
+    hot = (pts.groupBy("cell").count()
+           .where(F.col("count") > salt_target)
+           .select(F.col("cell").alias("qcell"),
+                   F.ceil(F.col("count") / salt_target).cast("int")
+                   .alias("_nsalt")))
+    cands = (cands.join(F.broadcast(hot), "qcell", "left")
+             .withColumn("_nsalt", F.coalesce("_nsalt", F.lit(1)))
+             .withColumn("_psalt", F.pmod(F.xxhash64("node_id"),
+                                          F.col("_nsalt")))
+             .withColumn("_salt", F.explode(F.sequence(
+                 F.lit(0), F.col("_nsalt") - 1)))
+             .withColumn("_probe", (F.col("cell") == F.col("qcell"))
+                         & (F.col("_salt") == F.col("_psalt")))
+             .select("node_id", "x", "y", "cell", "qcell", "_salt", "_probe"))
     top1 = _persist(
-        cands.groupBy("qcell")
+        cands.groupBy("qcell", "_salt")
         .applyInPandas(_local_topk_kernel(k, metric, B),
                        "src long, dst long, weight double, cert boolean, "
                        "px double, py double"))

@@ -169,3 +169,22 @@ def test_delaunay_and_emst(spark, pts_df, pts_np):
                 heapq.heappush(heap, (d[j, k2], k2))
     got_total = sum(d[u, v] for u, v in mst)
     assert abs(got_total - total) < 1e-6
+
+
+def test_knn_hot_block_salting(spark):
+    """Urban-core skew guard: forcing multi-salt splits of a dense cluster
+    must leave the exact edge set unchanged."""
+    import numpy as np
+    rng = np.random.default_rng(13)
+    core = rng.random((400, 2)) * 50.0 + 2000.0      # dense hot block
+    ring = rng.random((100, 2)) * 5000.0
+    pts = np.vstack([core, ring])
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "node_id long, x double, y double")
+    from city2graph_spark.operators.proximity import knn_graph
+    base = {(r.src, r.dst) for r in
+            knn_graph(df, 4, cell_size=500.0).collect()}
+    salted = {(r.src, r.dst) for r in
+              knn_graph(df, 4, cell_size=500.0, salt_target=50).collect()}
+    assert salted == base and len(base) > 0
