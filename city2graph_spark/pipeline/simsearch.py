@@ -231,6 +231,111 @@ def cosine_rerank(pairs: DataFrame, emb: DataFrame, *,
                     .alias("sim")))
 
 
+def ivf_centroids(df: DataFrame, *, n_centroids: int = 64, iters: int = 5,
+                  seed: int = 42, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> np.ndarray:
+    """Distributed spherical k-means for the IVF coarse quantizer:
+    deterministic init (the n_centroids smallest xxhash64(id) vectors),
+    then ``iters`` rounds of broadcast-centroid assignment (one Arrow GEMM
+    pass per batch) + groupBy mean.  Only the (n_centroids × dim) matrix
+    ever reaches the driver."""
+    init = (df.select(id_col, vec_col)
+            .withColumn("_h", F.xxhash64(id_col))
+            .orderBy("_h").limit(int(n_centroids)).collect())
+    C = np.array([list(r[vec_col]) for r in init], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    spark = df.sparkSession
+    for _ in range(int(iters)):
+        bc = spark.sparkContext.broadcast(C)
+
+        def assign(it):
+            import pandas as pd
+            Cb = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                M = np.array(list(pdf[vec_col]), dtype=np.float64)
+                Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                                    1e-12)
+                b = np.argmax(Mn @ Cb.T, axis=1)
+                out = pd.DataFrame(Mn, columns=[f"d{i}" for i in
+                                                range(Mn.shape[1])])
+                out.insert(0, "bucket", b.astype(np.int64))
+                yield out
+
+        dim = C.shape[1]
+        schema = "bucket long, " + ", ".join(f"d{i} double"
+                                             for i in range(dim))
+        sums = (df.select(vec_col).mapInPandas(assign, schema)
+                .groupBy("bucket")
+                .agg(F.count("*").alias("_n"),
+                     *[F.sum(f"d{i}").alias(f"d{i}") for i in range(dim)])
+                .collect())
+        C2 = C.copy()
+        for r in sums:
+            b = int(r["bucket"])
+            v = np.array([r[f"d{i}"] for i in range(dim)]) / max(r["_n"], 1)
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                C2[b] = v / n
+        C = C2
+    return C
+
+
+def ivf_topk(df: DataFrame, k: int, *, n_centroids: int = 64,
+             n_probe: int = 4, iters: int = 5, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate cosine top-k (the brief's IVF scale path): vectors
+    shard into their nearest-centroid bucket; each probe searches only its
+    ``n_probe`` nearest buckets — a bucket equi-join, never all-pairs —
+    then the exact JVM rerank + per-probe window pick the top k.
+
+    Recall is tunable via (n_centroids, n_probe); n_probe = n_centroids
+    degenerates to exact search.  Returns (qid, nid, rnk)."""
+    from pyspark.sql import Window
+    C = centroids if centroids is not None else \
+        ivf_centroids(df, n_centroids=n_centroids, iters=iters, seed=seed,
+                      id_col=id_col, vec_col=vec_col)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+    npb = int(n_probe)
+
+    def assign(it):
+        import pandas as pd
+        Cb = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                                1e-12)
+            sims = Mn @ Cb.T
+            own = np.argmax(sims, axis=1)
+            m = min(npb, sims.shape[1])
+            probes = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+            yield pd.DataFrame({
+                "vid": np.repeat(ids, m),
+                "own": np.repeat(own, m).astype(np.int64),
+                "probe": probes.reshape(-1).astype(np.int64)})
+
+    am = df.mapInPandas(assign, "vid long, own long, probe long").persist()
+    members = am.select(F.col("vid").alias("nid"),
+                        F.col("own").alias("bucket")).dropDuplicates()
+    probes = am.select(F.col("vid").alias("qid"),
+                       F.col("probe").alias("bucket")).dropDuplicates()
+    cand = (probes.join(members, "bucket")
+            .where(F.col("qid") != F.col("nid"))
+            .select("qid", "nid").dropDuplicates())
+    sims = cosine_rerank(cand, df, id_col=id_col, vec_col=vec_col,
+                         a_col="qid", b_col="nid")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (sims.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= int(k))
+            .select("qid", "nid", F.col("rnk").cast("long")))
+
+
 def ann_topk(df: DataFrame, k: int, *, n_planes: int = 8, n_bands: int = 6,
              seed: int = 42, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

@@ -115,3 +115,24 @@ def test_cosine_rerank_matches_numpy(emb_df):
     n = np.linalg.norm(m, axis=1)
     for (i, j), s in got.items():
         assert abs(s - float(m[i] @ m[j] / (n[i] * n[j]))) < 1e-9
+
+
+def test_ivf_topk_recall(emb_df):
+    """IVF coarse-quantizer path: top-1 recall vs exact brute force must be
+    high with generous n_probe, and perfect when probing every bucket."""
+    from city2graph_spark.pipeline.simsearch import ivf_topk
+    df, mat = emb_df
+    m = mat.astype(np.float32).astype(np.float64)
+    n = np.linalg.norm(m, axis=1)
+    sims = (m @ m.T) / (n[:, None] * n[None, :])
+    np.fill_diagonal(sims, -np.inf)
+    exact1 = {i: int(np.lexsort((np.arange(len(m)), -sims[i]))[0])
+              for i in range(len(m))}
+    got = {r.qid: r.nid
+           for r in ivf_topk(df, 1, n_centroids=8, n_probe=4).collect()}
+    hit = sum(1 for q, nn in exact1.items() if got.get(q) == nn)
+    assert hit / len(exact1) >= 0.85, hit
+    # probing every bucket = exact
+    full = {r.qid: r.nid
+            for r in ivf_topk(df, 1, n_centroids=8, n_probe=8).collect()}
+    assert full == exact1
