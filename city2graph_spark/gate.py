@@ -349,10 +349,16 @@ FROM agg
 
 
 def sql_ngram_jaccard(d: str) -> str:
-    """Character-4-gram Jaccard near-dup pairs (threshold 0.5)."""
+    """Character-4-gram Jaccard near-dup pairs (threshold 0.5) with the
+    hot-shingle document-frequency cap (df ≤ 100) folded into BOTH dialects
+    — the stopword-shingle skew guard ``ngram_jaccard_pairs`` applies via
+    ``max_shingle_df`` (a shingle in >100 docs matches everything and
+    carries no near-dup signal; dropping it bounds the self-join fan-out)."""
     sh = _shingles_rel(d)
     return f"""
-WITH sh AS (SELECT * FROM {sh} _s),
+WITH sh0 AS (SELECT * FROM {sh} _s),
+rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100),
+sh AS (SELECT sh0.* FROM sh0 JOIN rare ON sh0.shingle = rare.shingle),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ic
@@ -827,6 +833,14 @@ def q_tessellation_enclosed(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(eid).applyInPandas.  Returns per-cell quantized areas; the
     oracle computes the exact strip areas the collinear fixture implies."""
     from .operators.tessellation import enclosed_tessellation
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    if n_docs > 700:
+        # _derived_buildings is injective + per-enclosure collinear only for
+        # doc_id DIV 25 < 28; beyond 700 docs cx repeats / cy varies and the
+        # LAG/LEAD strip oracle is silently wrong — fail loudly instead.
+        raise AssertionError(
+            f"tessellation_enclosed fixture valid only for <=700 documents "
+            f"(got {n_docs}); extend _derived_buildings before bumping sf")
     bv = _derived_buildings(spark, sf_dir)
     mv = _grid_streets(spark)
     cells = enclosed_tessellation(bv, mv, segment=10.0,

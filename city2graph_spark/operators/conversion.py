@@ -22,12 +22,19 @@ def to_node_link(nodes: DataFrame | None, edges: DataFrame, *,
     """Collect a (small) graph into node-link format: ``{"directed",
     "nodes": [{"id", **attrs}], "links": [{"source", "target", **attrs}]}``.
 
-    Raises if the edge list exceeds ``max_rows`` — this is the documented
-    guard against accidentally gathering a planet-sized result."""
+    Raises if the edge list — or the node table — exceeds ``max_rows``:
+    this is the documented guard against accidentally gathering a
+    planet-sized result on either side."""
     n_edges = edges.count()
     if n_edges > max_rows:
         raise ValueError(f"to_node_link collects to the driver; {n_edges} "
                          f"edges > max_rows={max_rows} — filter/clip first")
+    if nodes is not None:
+        n_nodes = nodes.count()
+        if n_nodes > max_rows:
+            raise ValueError(
+                f"to_node_link collects to the driver; {n_nodes} "
+                f"nodes > max_rows={max_rows} — filter/clip first")
     link_rows = edges.collect()
     links = []
     for r in link_rows:

@@ -540,8 +540,13 @@ def morphological_graph(building_verts: DataFrame, mv: DataFrame,
                         contiguity: str = "queen",
                         tolerance: float = 1e-6,
                         keep_buildings: bool = False,
-                        tessellation: str = "fallback") -> dict[str, DataFrame]:
-    """Morphological-graph DAG (morphology.py:156-348):
+                        tessellation: str = "enclosed") -> dict[str, DataFrame]:
+    """Morphological-graph DAG (morphology.py:156-348).
+
+    Default ``tessellation="enclosed"`` matches the reference's default
+    (``tessellation_fallback=False`` ⇒ momepy enclosed tessellation,
+    morphology.py:2360-2422); pass ``"fallback"`` for the footprint-cell
+    path (M14) or ``"morphological"`` for the no-barriers Voronoi (M5).
 
     reachability field (M9) → reachable movements (M11) → tessellation
     (``tessellation='enclosed'`` = the reference's default M5 path, street
@@ -573,7 +578,7 @@ def morphological_graphs(building_verts: DataFrame, mv: DataFrame,
                          contiguity: str = "queen",
                          tolerance: float = 1e-6,
                          keep_buildings: bool = False,
-                         tessellation: str = "fallback"
+                         tessellation: str = "enclosed"
                          ) -> dict[float, dict[str, DataFrame]]:
     """M2 multi-distance shared pass (reference morphology.py:351-488): the
     expensive shared work — the reachability cost field and the (enclosed)
@@ -646,7 +651,13 @@ def _layers_for_distance(cells: DataFrame, building_verts: DataFrame,
                             "place_id", "left_semi").persist()
     pv = cells_kept.withColumnRenamed("place_id", "poly_id")
 
-    touched = place_to_place_graph(pv, contiguity=contiguity)
+    # reference morphology.py:2408-2422 passes group_col="enclosure_index"
+    # on the enclosed path: adjacent enclosures share street-line vertices,
+    # so queen contiguity would otherwise emit cross-enclosure edges the
+    # reference suppresses
+    groups = (pv.select("poly_id", F.col("enclosure_index").alias("group"))
+              .dropDuplicates() if enclosed else None)
+    touched = place_to_place_graph(pv, groups, contiguity=contiguity)
     faced = place_to_movement_graph(pv, mv_near, tolerance=tolerance,
                                     max_connection_distance=extent_buffer)
     connected = movement_to_movement_graph(mv_near)

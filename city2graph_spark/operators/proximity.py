@@ -737,6 +737,7 @@ def _global_hull(points: DataFrame) -> list[tuple[int, float, float]]:
 
 def delaunay_graph_distributed(points: DataFrame, *, tile_points: int = 2500,
                                max_rounds: int = 6,
+                               boundary_cap: int | None = None,
                                debug: bool = False) -> DataFrame:
     """Exact distributed Delaunay in ONE data pass + one boundary pass
     (SURVEY §7.3, redesigned after the round-2 escalation experiments).
@@ -916,6 +917,18 @@ def delaunay_graph_distributed(points: DataFrame, *, tile_points: int = 2500,
         .unionByName(invaded.select(F.col("tc").alias("pid")))
     U = u_pts.unionByName(u_ref).dropDuplicates().persist()
     n_u = U.count()
+    # guard the driver-side DT(U): for realistic data |U| = O(√n) (measured
+    # in ARCHITECTURE.md), but adversarial inputs (all points cocircular /
+    # collinear) make |U| = n and would silently re-centralize the whole
+    # problem — fail loudly instead of gathering n rows
+    cap = boundary_cap if boundary_cap is not None \
+        else max(50_000, 64 * int(math.isqrt(n)))
+    if n_u > cap:
+        raise ValueError(
+            f"delaunay boundary set |U|={n_u} exceeds cap {cap} "
+            f"(n={n}): input is adversarially degenerate (cocircular/"
+            f"collinear); raise boundary_cap explicitly to force the "
+            f"driver-side boundary pass")
     if debug:
         print(f"[delaunay] unproven={unproven.count()} "
               f"refuted={invaded.count()} unsettled={n_u}", flush=True)

@@ -63,6 +63,51 @@ def symmetrize_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Da
     return fwd.unionByName(missing)
 
 
+_ID_BUCKETS = 256
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "double",
+                     "float", "decimal", "long")
+
+
+def _first_appearance_ids(appearance: DataFrame, segments: DataFrame,
+                          order_col: str) -> DataFrame:
+    """Contiguous node ids in global ``_first``-order WITHOUT a single-task
+    global sort: range-bucket on the order value (deterministic value-based
+    boundaries — no sampled RangePartitioner), rank within each bucket, and
+    add size-prefix offsets computed over the tiny per-bucket count table.
+    Falls back to the global window only for non-numeric order columns
+    (none in this repo's call sites)."""
+    dtype = dict(segments.dtypes).get(order_col, "")
+    if not dtype.startswith(_NUMERIC_PREFIXES):
+        w = Window.orderBy(F.col("_first._part"), F.col("_first._ord"))
+        return appearance.withColumn("node_id", F.row_number().over(w) - 1) \
+                         .select("node_id", "x", "y")
+    stats = appearance.agg(
+        F.min(F.col("_first._ord")).alias("lo"),
+        F.max(F.col("_first._ord")).alias("hi")).head()
+    lo, hi = stats["lo"], stats["hi"]
+    if lo is None or float(lo) == float(hi):
+        sub = F.lit(1)
+    else:
+        sub = F.width_bucket(F.col("_first._ord").cast("double"),
+                             F.lit(float(lo)), F.lit(float(hi)),
+                             F.lit(_ID_BUCKETS))
+    app = appearance.withColumn(
+        "_bkt", F.col("_first._part") * (_ID_BUCKETS + 2) + sub)
+    wb = Window.partitionBy("_bkt").orderBy(F.col("_first._part"),
+                                            F.col("_first._ord"))
+    ranked = app.withColumn("_r", F.row_number().over(wb))
+    sizes = ranked.groupBy("_bkt").agg(F.count("*").alias("_c"))
+    # prefix-sum over ≤ 2·(_ID_BUCKETS+2) rows — the only global window,
+    # and it is over the bucket-count table, not the data
+    wo = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.withColumn("_off",
+                            F.coalesce(F.sum("_c").over(wo), F.lit(0)))
+    return (ranked.join(F.broadcast(offs.select("_bkt", "_off")), "_bkt")
+            .withColumn("node_id", F.col("_off") + F.col("_r") - 1)
+            .select("node_id", "x", "y"))
+
+
 def segments_to_graph(segments: DataFrame, *, seg_id: str = "seg_id",
                       order_col: str | None = None,
                       directed: bool = True,
@@ -86,9 +131,7 @@ def segments_to_graph(segments: DataFrame, *, seg_id: str = "seg_id",
     appearance = starts.unionByName(ends) \
         .groupBy("x", "y") \
         .agg(F.min(F.struct("_part", "_ord")).alias("_first"))
-    w = Window.orderBy(F.col("_first._part"), F.col("_first._ord"))
-    nodes = appearance.withColumn("node_id", F.row_number().over(w) - 1) \
-                      .select("node_id", "x", "y")
+    nodes = _first_appearance_ids(appearance, segments, order_col)
 
     e = segments \
         .join(nodes.select(F.col("node_id").alias("_from"),

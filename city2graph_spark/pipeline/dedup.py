@@ -155,10 +155,24 @@ def simhash_neardup_pairs(docs: DataFrame, *, bits: int = 16,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 4,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold (shingle equi-join —
-    never a cross join)."""
+    never a cross join).
+
+    ``max_shingle_df`` is the standard stopword-shingle skew guard: a
+    shingle appearing in more than that many documents is dropped from the
+    shingle sets entirely (both intersection and union) BEFORE the
+    self-join, capping the worst hot-key fan-out at max_shingle_df² rows
+    instead of n_docs².  Hot shingles carry no near-dup signal (they match
+    everything), so at a corpus scale this is the difference between a
+    bounded join and a quadratic one.  None = exact, uncapped."""
     sh = shingles(docs, n=n)
+    if max_shingle_df is not None:
+        rare = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= int(max_shingle_df))
+                .select("shingle"))
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (sh.alias("a").join(sh.alias("b"),
                                 (F.col("a.shingle") == F.col("b.shingle"))

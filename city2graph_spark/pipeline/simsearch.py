@@ -24,6 +24,38 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     return ids[order], mat[order]
 
 
+def _topk_rows(sims: np.ndarray, bid: np.ndarray, kk: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row exact top-``kk`` under the documented (sim desc, nid asc)
+    contract: argpartition with a +8 tie slack for the common case, and a
+    full lexicographic re-sort for any row whose tie group at the k-th
+    similarity extends past the slack (>8 build vectors exactly tied —
+    realistic with duplicated embeddings in dedup corpora).  Returns
+    (ids, sims) of shape (n_rows, kk)."""
+    ncol = sims.shape[1]
+    m = min(kk + 8, ncol)
+    part = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+    sel_s = np.take_along_axis(sims, part, axis=1)
+    sel_i = bid[part]
+    o1 = np.argsort(sel_i, axis=1, kind="stable")
+    sel_s = np.take_along_axis(sel_s, o1, axis=1)
+    sel_i = np.take_along_axis(sel_i, o1, axis=1)
+    o2 = np.argsort(-sel_s, axis=1, kind="stable")
+    sel_s = np.take_along_axis(sel_s, o2, axis=1)
+    sel_i = np.take_along_axis(sel_i, o2, axis=1)
+    if m < ncol:
+        # tie group at the cut still full at the slack boundary ⇒ smaller
+        # nids tied at the k-th value may sit outside the partition — redo
+        # those rows exactly (rare: >8-way exact ties)
+        bad = np.where(sel_s[:, m - 1] >= sel_s[:, kk - 1])[0]
+        for r in bad:
+            row = sims[r]
+            full = np.lexsort((bid, -row))[:kk]
+            sel_i[r, :kk] = bid[full]
+            sel_s[r, :kk] = row[full]
+    return sel_i[:, :kk], sel_s[:, :kk]
+
+
 def cosine_topk(probe: DataFrame, k: int, *, build: DataFrame | None = None,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 rows_per_chunk: int = 50_000) -> DataFrame:
@@ -74,18 +106,7 @@ def cosine_topk(probe: DataFrame, k: int, *, build: DataFrame | None = None,
         sims = (Q @ B.T) / (qn[:, None] * bn[None, :])
         sims[qid[:, None] == bid[None, :]] = -np.inf   # exclude self
         kk = min(kk_cap, sims.shape[1])
-        # +8 tie slack then id-stable sort — same boundary-tie behavior as
-        # the broadcast path, so the final window picks smallest nids
-        m = min(kk + 8, sims.shape[1])
-        part = np.argpartition(-sims, m - 1, axis=1)[:, :m]
-        sel_s = np.take_along_axis(sims, part, axis=1)
-        sel_i = bid[part]
-        o1 = np.argsort(sel_i, axis=1, kind="stable")
-        sel_s = np.take_along_axis(sel_s, o1, axis=1)
-        sel_i = np.take_along_axis(sel_i, o1, axis=1)
-        o2 = np.argsort(-sel_s, axis=1, kind="stable")[:, :kk]
-        sel_s = np.take_along_axis(sel_s, o2, axis=1)
-        sel_i = np.take_along_axis(sel_i, o2, axis=1)
+        sel_i, sel_s = _topk_rows(sims, bid, kk)
         keep = np.isfinite(sel_s)
         qq = np.repeat(qid, sel_s.shape[1]).reshape(sel_s.shape)
         return pd.DataFrame({"qid": qq[keep], "nid": sel_i[keep],
@@ -134,16 +155,8 @@ def cosine_topk_broadcast(probe: DataFrame, k: int, *,
             kk = min(k, sims.shape[1] - 1)
             if kk <= 0:
                 continue
-            m = min(kk + 8, sims.shape[1])
-            part = np.argpartition(-sims, m - 1, axis=1)[:, :m]
-            sel_s = np.take_along_axis(sims, part, axis=1)
-            sel_i = ids_b[part]
-            o1 = np.argsort(sel_i, axis=1, kind="stable")
-            sel_s = np.take_along_axis(sel_s, o1, axis=1)
-            sel_i = np.take_along_axis(sel_i, o1, axis=1)
-            o2 = np.argsort(-sel_s, axis=1, kind="stable")[:, :kk]
-            top_i = np.take_along_axis(sel_i, o2, axis=1)
-            keep = np.isfinite(np.take_along_axis(sel_s, o2, axis=1))
+            top_i, top_s = _topk_rows(sims, ids_b, kk)
+            keep = np.isfinite(top_s)
             rnk = np.broadcast_to(np.arange(1, kk + 1), top_i.shape)
             qq = np.repeat(qid, kk).reshape(-1, kk)
             yield pd.DataFrame({"qid": qq[keep], "nid": top_i[keep],

@@ -59,7 +59,8 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
 
 def streaming_exact_dedup(events: DataFrame, *, key_col: str = "user_id",
                           content_col: str = "props",
-                          id_col: str = "event_id") -> DataFrame:
+                          id_col: str = "event_id",
+                          state_ttl_ms: int | None = None) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState`` (the brief's
     stateful-streaming primitive): per-key online EXACT dedup — only the
     first occurrence of each content hash per key is emitted; the seen-hash
@@ -68,16 +69,28 @@ def streaming_exact_dedup(events: DataFrame, *, key_col: str = "user_id",
     This is the streaming twin of ``pipeline.dedup.exact_dedup``: backfill
     runs the batch groupBy, live ingest runs this, and both agree on the
     keeper set (first-seen by arrival order within the stream).
-    """
+
+    State-size contract: with the default ``state_ttl_ms=None`` the per-key
+    seen-hash set grows for the lifetime of the stream — exact forever, but
+    unbounded state (fine for bounded replays/backfills, NOT for a
+    long-lived 100 TB ingest).  Pass ``state_ttl_ms`` to bound it: a key
+    idle longer than the TTL has its state evicted on the next trigger
+    (ProcessingTimeTimeout), so dedup becomes exact-within-TTL — the
+    standard bounded-state trade for continuous pipelines."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = (f"{key_col} long, {id_col} long, content_hash string")
     state_schema = "seen array<string>"
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if state_ttl_ms
+               else GroupStateTimeout.NoTimeout)
 
     def dedup_fn(key, pdf_iter, state: GroupState):
         import hashlib
 
         import pandas as pd
+        if state_ttl_ms and state.hasTimedOut:
+            state.remove()
+            return
         seen = set(state.get[0]) if state.exists else set()
         for pdf in pdf_iter:
             if len(pdf) == 0:
@@ -96,7 +109,9 @@ def streaming_exact_dedup(events: DataFrame, *, key_col: str = "user_id",
                     id_col: sub[id_col].to_numpy(),
                     "content_hash": hashes.iloc[keep].to_numpy()})
         state.update((sorted(seen),))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
 
     return (events.groupBy(key_col)
             .applyInPandasWithState(dedup_fn, out_schema, state_schema,
-                                    "append", GroupStateTimeout.NoTimeout))
+                                    "append", timeout))

@@ -76,6 +76,19 @@ def test_delaunay_dispatch_past_old_cap(spark):
     assert n < cnt <= 3 * n - 6
 
 
+def test_delaunay_cocircular_guard(spark):
+    """Adversarially degenerate input (all points on one circle) makes the
+    unsettled boundary set U = n; the boundary-cap guard must fail loudly
+    instead of silently gathering the whole problem to the driver."""
+    n = 1500
+    ang = 2 * np.pi * np.arange(n) / n
+    pts = np.column_stack([50_000 + 40_000 * np.cos(ang),
+                           50_000 + 40_000 * np.sin(ang)])
+    df = _df(spark, pts)
+    with pytest.raises(ValueError, match="boundary set"):
+        delaunay_graph_distributed(df, tile_points=100, boundary_cap=300)
+
+
 def test_boruvka_matches_kruskal(uniform_df):
     df, _ = uniform_df
     kr = euclidean_minimum_spanning_tree(df).collect()

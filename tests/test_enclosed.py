@@ -32,13 +32,18 @@ from city2graph_spark.operators.tessellation import (
 
 
 def _grid_mv(spark):
+    # noded at intersections (one movement per 100m block edge) so the
+    # street graph is connected — endpoint-noded input is the
+    # segments_to_graph contract, same as real (OSM/Overture) street data
     rows, mid = [], 0
     for x in (0.0, 100.0, 200.0):
-        rows += [(mid, 0, x, 0.0), (mid, 1, x, 200.0)]
-        mid += 1
+        for y0 in (0.0, 100.0):
+            rows += [(mid, 0, x, y0), (mid, 1, x, y0 + 100.0)]
+            mid += 1
     for y in (0.0, 100.0, 200.0):
-        rows += [(mid, 0, 0.0, y), (mid, 1, 200.0, y)]
-        mid += 1
+        for x0 in (0.0, 100.0):
+            rows += [(mid, 0, x0, y), (mid, 1, x0 + 100.0, y)]
+            mid += 1
     return spark.createDataFrame(
         rows, "movement_id long, seq long, x double, y double")
 
@@ -191,6 +196,16 @@ def test_morphological_graph_enclosed(spark, mv, buildings):
     assert {0, 1, 2} <= places
     touched = {(r.src, r.dst) for r in out["touched_to"].collect()}
     assert (0, 1) in touched  # bisector-adjacent cells share an edge
+    # enclosure group filter (reference morphology.py:2408-2422): cells 1
+    # and 2 share street-corner vertices (100,0)/(100,100) across the
+    # x=100 street, but touched_to must never cross enclosures
+    cell_encl = {r.place_id: r.enclosure_index
+                 for r in out["places"]
+                 .select("place_id", "enclosure_index")
+                 .dropDuplicates().collect()}
+    for s, d in touched:
+        assert cell_encl[s] == cell_encl[d], (s, d)
+    assert (1, 2) not in touched and (2, 1) not in touched
 
 
 def test_morphological_graphs_shared(spark, mv, buildings):

@@ -180,7 +180,7 @@ def test_place_to_place_group_filter(spark, buildings):
 
 def test_morphological_graph_dag(mv, buildings):
     out = morphological_graph(buildings, mv, (100.0, 1.0), 350.0,
-                              extent_buffer=50.0)
+                              extent_buffer=50.0, tessellation="fallback")
     assert {r.place_id for r in
             out["places"].select("place_id").dropDuplicates().collect()} == {0, 1}
     assert {r.movement_id for r in

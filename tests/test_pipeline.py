@@ -81,6 +81,28 @@ def test_exact_dedup_finds_planted_dupes(spark):
     assert set(jac) == {(0, 2), (0, 3), (2, 3)}
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Stopword-shingle skew guard: every doc shares a hot prefix; without
+    the cap it alone links all pairs at low threshold, with the cap only
+    genuinely-similar docs pair up — and the hot shingle leaves both the
+    intersection AND the union (sizes shrink)."""
+    hot = "the "      # one shared 4-gram across all docs
+    docs = spark.createDataFrame(
+        [(i, hot + f"unique{i:04d}") for i in range(40)]
+        + [(100, hot + "same same"), (101, hot + "same same")],
+        "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(docs, n=4, threshold=0.05).collect()
+    capped = ngram_jaccard_pairs(docs, n=4, threshold=0.05,
+                                 max_shingle_df=5).collect()
+    # hot shingle links every doc pair without the cap
+    assert len(uncapped) > 800
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in capped}
+    assert (100, 101) in got
+    assert got[(100, 101)] == 1.0   # identical docs stay exact post-cap
+    # no pair is linked by the hot shingle alone any more
+    assert all(a == 100 and b == 101 for a, b in got)
+
+
 def test_text_ops(spark):
     docs = spark.createDataFrame(
         [(0, "the cat and the dog"), (1, "xyz qrs tuv")],
