@@ -786,6 +786,148 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann_topk(emb, 3)
 
+# --------------------------------------------------------------------------
+# P3/P6 hard-signal gate rows: Delaunay + EMST on closed-form fixtures
+# (VERDICT r02 Missing #3 — the two §2.1 operators the driver signal never
+# touched).  Both run the DISTRIBUTED paths (tile settling + Borůvka), not
+# the driver fallback, so the gate covers the scale code.
+# --------------------------------------------------------------------------
+
+def _lattice_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sheared-lattice points p(i,j) = (10i + 2.5j, 10j), i = doc_id % 25,
+    j = doc_id DIV 25.  The lattice basis a=(10,0), b=(2.5,10) is reduced
+    and its fundamental triangle (0,a,b) is strictly acute with no fourth
+    lattice point on the circumcircle (R²=41.5625 < nearest |a+b−c|²), so
+    the Delaunay triangulation is EXACTLY the three edge families ±a, ±b,
+    ±(b−a) — closed-form in SQL.  The i∈[0,25)×j patch is convex in lattice
+    coordinates, so the finite Delaunay is the restriction of the infinite
+    one (no extra hull edges).  Requires n % 25 == 0 (full rows)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    if n % 25 != 0:
+        raise AssertionError(f"lattice fixture needs n % 25 == 0, got {n}")
+    return docs.select(
+        F.col("doc_id").alias("node_id"),
+        (F.expr("CAST(doc_id % 25 AS DOUBLE)") * 10.0
+         + F.expr("CAST(doc_id DIV 25 AS DOUBLE)") * 2.5).alias("x"),
+        (F.expr("CAST(doc_id DIV 25 AS DOUBLE)") * 10.0).alias("y"))
+
+
+def q_delaunay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 through the DISTRIBUTED path (tile_points=120 < n forces per-point
+    settling + in-circle verify + DT(U) boundary pass — not the driver
+    Bowyer–Watson)."""
+    from .operators.proximity import delaunay_graph_distributed
+    pts = _lattice_points(spark, sf_dir)
+    e = delaunay_graph_distributed(pts, tile_points=120)
+    return _quantized(e.withColumnRenamed("u", "src")
+                      .withColumnRenamed("v", "dst"))
+
+
+def _delaunay_oracle() -> str:
+    return """
+WITH pts AS (SELECT doc_id AS id, doc_id % 25 AS i, doc_id // 25 AS j,
+                    CAST(doc_id % 25 AS DOUBLE)*10.0
+                      + CAST(doc_id // 25 AS DOUBLE)*2.5 AS x,
+                    CAST(doc_id // 25 AS DOUBLE)*10.0 AS y
+             FROM documents),
+e AS (
+  SELECT a.id AS u, b.id AS v, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS byy
+  FROM pts a JOIN pts b ON b.i = a.i + 1 AND b.j = a.j
+  UNION ALL
+  SELECT a.id, b.id, a.x, a.y, b.x, b.y
+  FROM pts a JOIN pts b ON b.i = a.i AND b.j = a.j + 1
+  UNION ALL
+  SELECT a.id, b.id, a.x, a.y, b.x, b.y
+  FROM pts a JOIN pts b ON b.i = a.i - 1 AND b.j = a.j + 1)
+SELECT u AS src, v AS dst,
+       CAST(floor(sqrt((ax-bx)*(ax-bx)+(ay-byy)*(ay-byy))*10000) AS BIGINT)
+           AS weight_q
+FROM e
+"""
+
+
+def _zigzag_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zigzag chain: x = 10·id + id%5, y = 3·(id%2).  Consecutive distances
+    (√(dx²+9), dx ∈ {11,6}) are strictly below every non-consecutive
+    distance (dx ≥ 17), so the unique EMST is the consecutive-pair path —
+    closed-form in SQL via a self-join on id+1."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("node_id"),
+        F.expr("CAST(doc_id * 10 + doc_id % 5 AS DOUBLE)").alias("x"),
+        F.expr("CAST((doc_id % 2) * 3 AS DOUBLE)").alias("y"))
+
+
+def q_emst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 through the DISTRIBUTED path (driver_switch=100 < n: per-tile
+    certified Delaunay candidates → DataFrame Borůvka)."""
+    from .operators.proximity import euclidean_minimum_spanning_tree
+    pts = _zigzag_points(spark, sf_dir)
+    e = euclidean_minimum_spanning_tree(pts, driver_switch=100,
+                                        tile_points=120)
+    return _quantized(e.select(F.least("u", "v").alias("src"),
+                               F.greatest("u", "v").alias("dst"), "weight"))
+
+
+def _emst_oracle() -> str:
+    return """
+WITH pts AS (SELECT doc_id AS id,
+                    CAST(doc_id * 10 + doc_id % 5 AS DOUBLE) AS x,
+                    CAST((doc_id % 2) * 3 AS DOUBLE) AS y
+             FROM documents)
+SELECT a.id AS src, b.id AS dst,
+       CAST(floor(sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y))*10000)
+            AS BIGINT) AS weight_q
+FROM pts a JOIN pts b ON b.id = a.id + 1
+"""
+
+
+def q_metapath_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 undirected metapaths (reference metapath.py:831-840, 956-991)
+    through the OPERATOR: supplier—part—supplier 2-hop; a path and its
+    reversal collapse onto one canonical signature, so weight counts
+    unordered shared-part paths once."""
+    from .operators.metapath import add_metapath
+    register_views(spark, sf_dir)
+    h1 = spark.sql("SELECT DISTINCT l_suppkey AS src, "
+                   "l_partkey + 1000000 AS dst FROM lineitem")
+    h2 = spark.sql("SELECT DISTINCT l_partkey + 1000000 AS src, "
+                   "l_suppkey AS dst FROM lineitem")
+    out = add_metapath([h1, h2], directed=False)
+    return out.select(F.col("src").cast("long").alias("src"),
+                      F.col("dst").cast("long").alias("dst"),
+                      F.col("weight").cast("long").alias("weight"))
+
+
+def _metapath_undirected_oracle() -> str:
+    # replicates the operator's canonicalisation exactly: per-hop edge sig
+    # = 'min:max' (numeric order; suppkey < 1000000 <= shifted partkey),
+    # path sig = lexicographic min of the joined string vs its reverse,
+    # endpoints from the string-compared node path, dedup by sig, count.
+    return """
+WITH h AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p
+           FROM lineitem),
+paths AS (
+  SELECT a.s AS n0, a.p AS n1, b.s AS n2,
+         CAST(a.s AS VARCHAR)||':'||CAST(a.p AS VARCHAR) AS e1,
+         CAST(b.s AS VARCHAR)||':'||CAST(b.p AS VARCHAR) AS e2,
+         CAST(a.s AS VARCHAR)||'|'||CAST(a.p AS VARCHAR)||'|'
+           ||CAST(b.s AS VARCHAR) AS nf,
+         CAST(b.s AS VARCHAR)||'|'||CAST(a.p AS VARCHAR)||'|'
+           ||CAST(a.s AS VARCHAR) AS nr
+  FROM h a JOIN h b ON a.p = b.p),
+canon AS (
+  SELECT DISTINCT least(e1||'|'||e2, e2||'|'||e1) AS sig,
+         CASE WHEN nf <= nr THEN n0 ELSE n2 END AS src,
+         CASE WHEN nf <= nr THEN n2 ELSE n0 END AS dst
+  FROM paths)
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM canon GROUP BY src, dst
+"""
+
+
 def _derived_buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2m-square buildings on a deterministic lattice inside a 5×5 grid of
     1000m street enclosures: gx=id%5, gy=(id÷5)%5, x-offset from id÷25 —
@@ -1073,6 +1215,10 @@ _SPATIAL_QUERIES = {
                         lambda: _contiguity_oracle("rook")),
     "tessellation_enclosed": (q_tessellation_enclosed,
                               _tessellation_enclosed_oracle),
+    "delaunay_graph": (q_delaunay, _delaunay_oracle),
+    "emst": (q_emst, _emst_oracle),
+    "metapath_undirected": (q_metapath_undirected,
+                            _metapath_undirected_oracle),
     "gtfs_od_pairs": (q_gtfs_od_pairs, _gtfs_od_oracle),
     "gtfs_travel_summary": (q_gtfs_travel_summary,
                             _gtfs_travel_summary_oracle),

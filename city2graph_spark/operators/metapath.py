@@ -6,13 +6,27 @@ Reference semantics (/root/reference/city2graph/metapath.py):
   with weight = path count (947-953, 993-994); numeric attributes are
   row-reduced (sum or mean) ALONG the path, then group-reduced over the
   paths of each terminal pair (974-986).
+- undirected mode (831-840, 956-991): a missing hop key falls back to the
+  REVERSE edge type traversed backwards (_get_edge_frame); each joined path
+  is canonicalised against its reversal — per-hop edge ids get their
+  terminal pair ordered (_canonicalize_undirected_edge_id, 1047-1068), the
+  whole edge sequence is compared with its reverse and the smaller
+  orientation kept (_canonicalize_undirected_sequence, 1070+), duplicates
+  dropped by that path signature (991) so a path and its reverse count
+  once; terminal (src, dst) come from the canonical node sequence.
 - add_metapaths_by_weight (169-312): connect endpoint pairs whose
   shortest-path cost over selected edge types lies in
   [min_threshold, threshold] — see ``net.broadcast_sssp`` for the traversal.
 
-Spark shape: pure relational — a chain of equi-joins + one groupBy.
-Catalyst reorders/broadcasts the hop joins; hop frames are typically tiny
-vs the document table, so the chain usually compiles to broadcast joins.
+Spark shape: pure relational — a chain of equi-joins, string path
+signatures built from JVM-side concat/least (orientation choice =
+lexicographic string comparison, deterministic and identical in any ANSI
+engine; the reference orders by (type-name, str(value)) keys, which agrees
+for homogeneous id types), one dropDuplicates, one groupBy.  Catalyst
+reorders/broadcasts the hop joins; hop frames are typically tiny vs the
+document table, so the chain usually compiles to broadcast joins.
+Edge identity is the (src, dst) pair — the reference's extra MultiIndex
+edge-key levels (multigraph hops) are out of scope.
 """
 
 from __future__ import annotations
@@ -23,21 +37,25 @@ from pyspark.sql import functions as F
 
 def add_metapath(hops: list[DataFrame], *, attrs: list[str] | None = None,
                  row_reduce: str = "sum",
-                 group_reduce: str = "sum") -> DataFrame:
+                 group_reduce: str = "sum",
+                 directed: bool = True) -> DataFrame:
     """Compose a metapath from hop edge frames [(src,dst,attr…), …].
 
-    Returns (src, dst, weight = path count[, <attr>_agg …]).
+    Returns (src, dst, weight = path count[, <attr>_agg …]).  With
+    ``directed=False`` a path and its reversal are the same path: both
+    orientations collapse onto one canonical signature before counting
+    (reference metapath.py:956-991).
     """
     attrs = attrs or []
+    n = len(hops)
     cur = hops[0].select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d"),
+        F.col("src").alias("_n0"), F.col("dst").alias("_n1"),
         *[F.col(a).cast("double").alias(f"_a_{a}_0") for a in attrs])
     for i, hop in enumerate(hops[1:], start=1):
         nxt = hop.select(
-            F.col("src").alias("_d"), F.col("dst").alias("_d2"),
+            F.col("src").alias(f"_n{i}"), F.col("dst").alias(f"_n{i + 1}"),
             *[F.col(a).cast("double").alias(f"_a_{a}_{i}") for a in attrs])
-        cur = cur.join(nxt, "_d").drop("_d").withColumnRenamed("_d2", "_d")
-    n = len(hops)
+        cur = cur.join(nxt, f"_n{i}")
     path_vals = []
     for a in attrs:
         steps = [F.col(f"_a_{a}_{i}") for i in range(n)]
@@ -47,8 +65,37 @@ def add_metapath(hops: list[DataFrame], *, attrs: list[str] | None = None,
         if row_reduce == "mean":
             total = total / F.lit(float(n))
         path_vals.append(total.alias(f"_p_{a}"))
-    cur = cur.select(F.col("_s").alias("src"), F.col("_d").alias("dst"),
-                     *path_vals)
+
+    if directed:
+        cur = cur.select(F.col("_n0").alias("src"),
+                         F.col(f"_n{n}").alias("dst"), *path_vals)
+    else:
+        # canonical per-hop edge signature: ordered terminal pair
+        esigs = [F.concat_ws(":",
+                             F.least(F.col(f"_n{i}"), F.col(f"_n{i + 1}"))
+                             .cast("string"),
+                             F.greatest(F.col(f"_n{i}"), F.col(f"_n{i + 1}"))
+                             .cast("string"))
+                 for i in range(n)]
+        sig = F.least(F.concat_ws("|", *esigs),
+                      F.concat_ws("|", *reversed(esigs)))
+        nodes_f = F.concat_ws("|", *[F.col(f"_n{i}").cast("string")
+                                     for i in range(n + 1)])
+        nodes_r = F.concat_ws("|", *[F.col(f"_n{i}").cast("string")
+                                     for i in range(n, -1, -1)])
+        fwd = nodes_f <= nodes_r
+        cur = cur.select(
+            sig.alias("_sig"),
+            F.when(fwd, F.col("_n0")).otherwise(F.col(f"_n{n}")).alias("src"),
+            F.when(fwd, F.col(f"_n{n}")).otherwise(F.col("_n0")).alias("dst"),
+            *path_vals)
+        # a path and its reverse carry identical canonical values, so the
+        # min-struct pick is deterministic (not a nondeterministic first())
+        cur = (cur.groupBy("_sig")
+               .agg(F.min(F.struct("src", "dst",
+                                   *[f"_p_{a}" for a in attrs])).alias("_s"))
+               .select("_s.*"))
+
     aggs = [F.count("*").alias("weight")]
     for a in attrs:
         col = F.col(f"_p_{a}")
@@ -61,17 +108,31 @@ def add_metapaths(edges: dict[tuple[str, str, str], DataFrame],
                   metapaths: list[list[tuple[str, str, str]]],
                   *, attrs: list[str] | None = None,
                   row_reduce: str = "sum",
-                  group_reduce: str = "sum") -> dict[tuple[str, str, str], DataFrame]:
+                  group_reduce: str = "sum",
+                  directed: bool = True
+                  ) -> dict[tuple[str, str, str], DataFrame]:
     """For each metapath (list of typed edge keys), derive a new typed edge
     frame keyed (start_type, 'metapath_<i>', end_type) — the reference's new
-    edge key contract (metapath.py:1175+)."""
+    edge key contract (metapath.py:1175+).  With ``directed=False`` a hop
+    key missing from ``edges`` resolves through its reverse key with the
+    frame traversed backwards (reference _get_edge_frame, 806-840)."""
     out = {}
     for i, path in enumerate(metapaths):
         for a, b in zip(path[:-1], path[1:]):
             if a[2] != b[0]:
                 raise ValueError(f"metapath hop mismatch: {a} -> {b}")
-        hops = [edges[k] for k in path]
+        hops = []
+        for k in path:
+            if k in edges:
+                hops.append(edges[k])
+            elif not directed and (k[2], k[1], k[0]) in edges:
+                rev = edges[(k[2], k[1], k[0])]
+                hops.append(rev.withColumn("_t", F.col("src"))
+                            .withColumn("src", F.col("dst"))
+                            .withColumn("dst", F.col("_t")).drop("_t"))
+            else:
+                raise KeyError(f"edge type {k} not found in edges dict")
         key = (path[0][0], f"metapath_{i}", path[-1][2])
         out[key] = add_metapath(hops, attrs=attrs, row_reduce=row_reduce,
-                                group_reduce=group_reduce)
+                                group_reduce=group_reduce, directed=directed)
     return out

@@ -93,3 +93,35 @@ def test_metapath_2hop_counts_and_attrs(spark):
                       group_reduce="mean").collect()
     g = {(r.src, r.dst): r.travel_time_mean for r in mm}
     assert g[("b1", "p1")] == ((1 + 10) / 2 + (2 + 40) / 2) / 2
+
+
+def test_metapath_undirected_dedup_and_reverse_lookup(spark):
+    """Undirected semantics (reference metapath.py:831-840, 956-991): a
+    path and its reversal collapse onto one canonical signature; weight
+    counts undirected paths; a missing hop key resolves via the reverse
+    edge type traversed backwards."""
+    t1 = spark.createDataFrame([(1, 2, 10.0), (3, 2, 30.0)],
+                               "src long, dst long, w double")
+    t2 = spark.createDataFrame([(2, 3, 100.0), (2, 1, 1000.0)],
+                               "src long, dst long, w double")
+    directed = {(r.src, r.dst): (r.weight, r.w_sum)
+                for r in add_metapath([t1, t2], attrs=["w"]).collect()}
+    assert directed == {(1, 3): (1, 110.0), (3, 1): (1, 1030.0),
+                        (1, 1): (1, 1010.0), (3, 3): (1, 130.0)}
+    und = {(r.src, r.dst): (r.weight, r.w_sum)
+           for r in add_metapath([t1, t2], attrs=["w"],
+                                 directed=False).collect()}
+    # 1-2-3 and 3-2-1 traverse the same undirected edge set {1:2, 2:3} in
+    # opposite order -> one canonical path; min-struct keeps w=110
+    assert und == {(1, 3): (1, 110.0), (1, 1): (1, 1010.0),
+                   (3, 3): (1, 130.0)}
+    # reverse-key hop lookup: B->C hop missing, (C,r2,B) present
+    ab = spark.createDataFrame([(1, 2)], "src long, dst long")
+    cb = spark.createDataFrame([(5, 2)], "src long, dst long")
+    edges = {("A", "r1", "B"): ab, ("C", "r2", "B"): cb}
+    path = [("A", "r1", "B"), ("B", "r2", "C")]
+    with pytest.raises(KeyError):
+        add_metapaths(edges, [path])
+    res = add_metapaths(edges, [path], directed=False)
+    rows = res[("A", "metapath_0", "C")].collect()
+    assert [(r.src, r.dst, r.weight) for r in rows] == [(1, 5, 1)]
