@@ -1026,6 +1026,172 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# Full morphological-graph DAG gate row (M1+M6+M7+M8+M9/M10/M11+M13
+# end-to-end on the strip fixture — VERDICT r02 Next #1).
+# --------------------------------------------------------------------------
+
+def _grid_streets_noded(spark: SparkSession) -> DataFrame:
+    """The 6×6 grid as 60 block-edge movements (noded at intersections —
+    the segments_to_graph street-graph contract, like real OSM/Overture
+    data).  ids: vertical block (k∈0..5, r∈0..4) x=k·1000, y∈[r,r+1]·1000
+    → id = k·5+r; horizontal block (k, c) y=k·1000, x∈[c,c+1]·1000 →
+    id = 30+k·5+c."""
+    ks = spark.range(6).select(F.col("id").cast("long").alias("k"))
+    rs = spark.range(5).select(F.col("id").cast("long").alias("r"))
+    kr = ks.crossJoin(rs)
+    v = kr.select((F.col("k") * 5 + F.col("r")).alias("movement_id"),
+                  F.explode(F.array(
+                      F.struct(F.lit(0).alias("seq"),
+                               (F.col("k") * 1000.0).alias("x"),
+                               (F.col("r") * 1000.0).alias("y")),
+                      F.struct(F.lit(1).alias("seq"),
+                               (F.col("k") * 1000.0).alias("x"),
+                               ((F.col("r") + 1) * 1000.0).alias("y"))))
+                  .alias("p")).select("movement_id", "p.seq", "p.x", "p.y")
+    h = kr.select((F.col("k") * 5 + F.col("r") + 30).alias("movement_id"),
+                  F.explode(F.array(
+                      F.struct(F.lit(0).alias("seq"),
+                               (F.col("r") * 1000.0).alias("x"),
+                               (F.col("k") * 1000.0).alias("y")),
+                      F.struct(F.lit(1).alias("seq"),
+                               ((F.col("r") + 1) * 1000.0).alias("x"),
+                               (F.col("k") * 1000.0).alias("y"))))
+                  .alias("p")).select("movement_id", "p.seq", "p.x", "p.y")
+    return v.unionByName(h)
+
+
+def q_morphological_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end morphological_graph on the strip fixture: reachability
+    field from the (0,0) corner → M11 reachable movements → enclosed
+    tessellation → M10 centroid caps (extent_buffer=455 drops the
+    mid-enclosure strips m∈{12,13,14} whose centroids sit >455m from every
+    street, plus the outer ring face) → touched_to with the enclosure group
+    filter (cross-enclosure strip cells share street-line vertices and MUST
+    NOT pair) → faced_to (strips touch their enclosure's top/bottom blocks;
+    first/last strips also the side blocks) → connected_to (street dual).
+    One unified (layer, a, b) table; every layer is closed-form on the
+    lattice so the DuckDB oracle is exact."""
+    from .operators.morphology import morphological_graph
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    if n_docs % 25 != 0 or not 50 <= n_docs <= 700:
+        raise AssertionError(
+            f"morphological_dag fixture needs n%25==0 and 50<=n<=700 "
+            f"(got {n_docs}); extend _derived_buildings first")
+    bv = _derived_buildings(spark, sf_dir)
+    mv = _grid_streets_noded(spark)
+    out = morphological_graph(bv, mv, (0.0, 0.0), 100_000.0,
+                              extent_buffer=455.0, tessellation="enclosed")
+    places = (out["places"].select("place_id", "enclosure_index")
+              .dropDuplicates()
+              .select(F.lit("place").alias("layer"),
+                      F.col("place_id").cast("long").alias("a"),
+                      F.col("enclosure_index").cast("long").alias("b")))
+    touched = out["touched_to"].select(
+        F.lit("touch").alias("layer"), F.col("src").cast("long").alias("a"),
+        F.col("dst").cast("long").alias("b"))
+    faced = out["faced_to"].select(
+        F.lit("face").alias("layer"), F.col("poly_id").cast("long").alias("a"),
+        F.col("movement_id").cast("long").alias("b"))
+    conn = out["connected_to"].select(
+        F.lit("conn").alias("layer"),
+        F.col("from_movement_id").cast("long").alias("a"),
+        F.col("to_movement_id").cast("long").alias("b"))
+    mvs = (out["movements"].select("movement_id").dropDuplicates()
+           .select(F.lit("mv").alias("layer"),
+                   F.col("movement_id").cast("long").alias("a"),
+                   F.lit(-1).cast("long").alias("b")))
+    return places.unionByName(touched).unionByName(faced) \
+        .unionByName(conn).unionByName(mvs)
+
+
+def _morphological_dag_oracle() -> str:
+    # strips: pid = gx + 5·gy + 25·m, cx offset 100+30m; centroid offset
+    # o(m): first strip (0+115)/2, last ((85+30·mmax)+1000)/2, else 100+30m;
+    # kept iff least(o, 1000−o, 500) ≤ 455.  Enclosure eid = 1+gx·5+gy (the
+    # buffered-limit ring face is eid 0 and is dropped by the caps rule).
+    return """
+WITH st AS (SELECT doc_id AS pid, doc_id % 5 AS gx, (doc_id // 5) % 5 AS gy,
+                   doc_id // 25 AS m FROM documents),
+mm AS (SELECT MAX(m) AS mmax FROM st),
+strips AS (SELECT pid, gx, gy, m,
+                  CASE WHEN m = 0 THEN 57.5
+                       WHEN m = (SELECT mmax FROM mm)
+                           THEN (1085.0 + 30 * m) / 2.0
+                       ELSE 100.0 + 30 * m END AS o
+           FROM st),
+kept AS (SELECT * FROM strips WHERE least(o, 1000 - o, 500.0) <= 455.0),
+place AS (SELECT 'place' AS layer, CAST(pid AS BIGINT) AS a,
+                 CAST(1 + gx * 5 + gy AS BIGINT) AS b FROM kept),
+touch AS (SELECT 'touch' AS layer, CAST(k1.pid AS BIGINT) AS a,
+                 CAST(k2.pid AS BIGINT) AS b
+          FROM kept k1 JOIN kept k2
+            ON k2.gx = k1.gx AND k2.gy = k1.gy AND k2.m = k1.m + 1),
+face AS (
+  -- full-edge contacts: every strip lies on its enclosure's bottom/top
+  -- blocks; the first/last strips lie on the side blocks.  Corner
+  -- contacts: the first/last strips' corners are grid nodes, touching
+  -- (distance 0 <= tol, dwithin semantics) the other blocks incident to
+  -- that node — the west/east horizontals and the below/above verticals.
+  SELECT 'face' AS layer, CAST(pid AS BIGINT) AS a,
+         CAST(30 + gy * 5 + gx AS BIGINT) AS b FROM kept         -- bottom
+  UNION ALL
+  SELECT 'face', CAST(pid AS BIGINT),
+         CAST(30 + (gy + 1) * 5 + gx AS BIGINT) FROM kept        -- top
+  UNION ALL
+  SELECT 'face', CAST(pid AS BIGINT), CAST(gx * 5 + gy AS BIGINT)
+  FROM kept WHERE m = 0                                          -- left
+  UNION ALL
+  SELECT 'face', CAST(pid AS BIGINT), CAST((gx + 1) * 5 + gy AS BIGINT)
+  FROM kept WHERE m = (SELECT mmax FROM mm)                      -- right
+  UNION ALL
+  SELECT 'face', CAST(pid AS BIGINT), CAST(30 + gy * 5 + gx - 1 AS BIGINT)
+  FROM kept WHERE m = 0 AND gx >= 1                              -- west-bot
+  UNION ALL
+  SELECT 'face', CAST(pid AS BIGINT),
+         CAST(30 + (gy + 1) * 5 + gx - 1 AS BIGINT)
+  FROM kept WHERE m = 0 AND gx >= 1                              -- west-top
+  UNION ALL
+  SELECT 'face', CAST(pid AS BIGINT), CAST(gx * 5 + gy - 1 AS BIGINT)
+  FROM kept WHERE m = 0 AND gy >= 1                              -- below-L
+  UNION ALL
+  SELECT 'face', CAST(pid AS BIGINT), CAST(gx * 5 + gy + 1 AS BIGINT)
+  FROM kept WHERE m = 0 AND gy <= 3                              -- above-L
+  UNION ALL
+  SELECT 'face', CAST(pid AS BIGINT), CAST(30 + gy * 5 + gx + 1 AS BIGINT)
+  FROM kept WHERE m = (SELECT mmax FROM mm) AND gx <= 3          -- east-bot
+  UNION ALL
+  SELECT 'face', CAST(pid AS BIGINT),
+         CAST(30 + (gy + 1) * 5 + gx + 1 AS BIGINT)
+  FROM kept WHERE m = (SELECT mmax FROM mm) AND gx <= 3          -- east-top
+  UNION ALL
+  SELECT 'face', CAST(pid AS BIGINT), CAST((gx + 1) * 5 + gy - 1 AS BIGINT)
+  FROM kept WHERE m = (SELECT mmax FROM mm) AND gy >= 1          -- below-R
+  UNION ALL
+  SELECT 'face', CAST(pid AS BIGINT), CAST((gx + 1) * 5 + gy + 1 AS BIGINT)
+  FROM kept WHERE m = (SELECT mmax FROM mm) AND gy <= 3),        -- above-R
+blocks AS (
+  SELECT k * 5 + r AS id, k AS x0, r AS y0, k AS x1, r + 1 AS y1
+  FROM (SELECT unnest(generate_series(0, 5)) AS k),
+       (SELECT unnest(generate_series(0, 4)) AS r)
+  UNION ALL
+  SELECT 30 + k * 5 + r, r, k, r + 1, k
+  FROM (SELECT unnest(generate_series(0, 5)) AS k),
+       (SELECT unnest(generate_series(0, 4)) AS r)),
+ends AS (SELECT id, x0 AS nx, y0 AS ny FROM blocks
+         UNION ALL SELECT id, x1, y1 FROM blocks),
+conn AS (SELECT DISTINCT 'conn' AS layer, CAST(e1.id AS BIGINT) AS a,
+                CAST(e2.id AS BIGINT) AS b
+         FROM ends e1 JOIN ends e2
+           ON e1.nx = e2.nx AND e1.ny = e2.ny AND e1.id < e2.id),
+mv AS (SELECT 'mv' AS layer, CAST(id AS BIGINT) AS a,
+              CAST(-1 AS BIGINT) AS b FROM blocks)
+SELECT * FROM place UNION ALL SELECT * FROM touch
+UNION ALL SELECT * FROM face UNION ALL SELECT * FROM conn
+UNION ALL SELECT * FROM mv
+"""
+
+
+# --------------------------------------------------------------------------
 # GTFS end-to-end gate (T3/T4/T5 over a synthetic feed derived from the
 # documents table — calendar expansion, extended >24h times, exceptions,
 # frequency multipliers; reference transportation.py:130-190, 687-714,
@@ -1219,6 +1385,7 @@ _SPATIAL_QUERIES = {
     "emst": (q_emst, _emst_oracle),
     "metapath_undirected": (q_metapath_undirected,
                             _metapath_undirected_oracle),
+    "morphological_dag": (q_morphological_dag, _morphological_dag_oracle),
     "gtfs_od_pairs": (q_gtfs_od_pairs, _gtfs_od_oracle),
     "gtfs_travel_summary": (q_gtfs_travel_summary,
                             _gtfs_travel_summary_oracle),

@@ -19,6 +19,19 @@ import numpy as np
 from .delaunay import _circum, _triangulate
 
 
+def canon_circum(P: np.ndarray, tris: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Circumcenters with each triangle's vertices first sorted
+    coordinate-lexicographically: the result is a pure function of the
+    three POINT VALUES, bit-identical no matter how the triangulation
+    indexed them — the distributed tessellation relies on this so cell
+    vertices shared between cells computed in different tasks are exactly
+    equal (queen contiguity joins on coordinate equality)."""
+    A = P[tris]
+    order = np.lexsort((A[:, :, 1], A[:, :, 0]), axis=1)
+    return _circum(P, np.take_along_axis(tris, order, axis=1))
+
+
 def voronoi_cells(sites: np.ndarray, bbox: tuple[float, float, float, float]
                   ) -> list[np.ndarray]:
     """Per-site bounded Voronoi polygon (CCW vertex arrays)."""
@@ -35,7 +48,7 @@ def voronoi_cells(sites: np.ndarray, bbox: tuple[float, float, float, float]
     # sites' cells never touch it, and the hole-retry ladder can only lose
     # precision on the mirror-expanded extent
     tris = np.array(_triangulate(P, check_cover=False), dtype=np.int64)
-    cc, _ = _circum(P, tris)
+    cc, _ = canon_circum(P, tris)
 
     incident: list[list[int]] = [[] for _ in range(n)]
     for t_idx, tri in enumerate(tris):
@@ -127,6 +140,60 @@ def halfplane_cells(sites: np.ndarray, subject: np.ndarray) -> list[np.ndarray]:
     return cells
 
 
+def _clip_line(poly: np.ndarray, px: float, py: float, nx: float, ny: float
+               ) -> np.ndarray:
+    """Clip ``poly`` to the half-plane (p − p0)·n ≥ 0."""
+    if len(poly) == 0:
+        return poly
+    side = (poly[:, 0] - px) * nx + (poly[:, 1] - py) * ny
+    out = []
+    m = len(poly)
+    for a in range(m):
+        b = (a + 1) % m
+        sa, sb = side[a], side[b]
+        if sa >= 0.0:
+            out.append(poly[a])
+        if (sa >= 0.0) != (sb >= 0.0) and sa != sb:
+            t = sa / (sa - sb)
+            out.append(poly[a] + t * (poly[b] - poly[a]))
+    return np.array(out) if out else np.empty((0, 2))
+
+
+def shrink_ring(ring: np.ndarray, d: float) -> np.ndarray:
+    """Inward offset (inner parallel body) of a simple ring by ``d`` —
+    momepy's ``buffer(-shrink)`` before boundary sampling (reference
+    utils/spatial.py:2085-2197 signature, shrink=0.4).  Computed as the
+    intersection of each edge's inward-offset half-plane: exact for convex
+    rings, miter-joined at reflex vertices (GEOS erosion would round them —
+    sub-sample-spacing difference for building-scale shrinks).  Returns the
+    ORIGINAL ring unchanged when the offset degenerates (building thinner
+    than 2d), mirroring momepy's fallback to the raw footprint."""
+    if d <= 0.0 or len(ring) < 3:
+        return ring
+    x, y = ring[:, 0], ring[:, 1]
+    signed = 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    if signed == 0.0:
+        return ring
+    orient = 1.0 if signed > 0.0 else -1.0   # CCW ⇒ interior on the left
+    poly = ring.copy()
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        ln = float(np.hypot(ex, ey))
+        if ln == 0.0:
+            continue
+        nx, ny = -ey / ln * orient, ex / ln * orient
+        poly = _clip_line(poly, a[0] + nx * d, a[1] + ny * d, nx, ny)
+        if len(poly) < 3:
+            return ring
+    px, py = poly[:, 0], poly[:, 1]
+    if abs(0.5 * float(np.sum(px * np.roll(py, -1)
+                              - np.roll(px, -1) * py))) <= 0.0:
+        return ring
+    return poly
+
+
 def dissolve_cells(cells: list[np.ndarray], owners: np.ndarray,
                    *, snap: float = 1e-6) -> dict:
     """Union the Voronoi cells of co-owned sites into one polygon per owner.
@@ -137,7 +204,10 @@ def dissolve_cells(cells: list[np.ndarray], owners: np.ndarray,
     for matching (cocircular sample configurations produce circumcenters
     equal only up to fp noise); output coordinates keep the snapped values.
 
-    Returns {owner: ring (k,2) ndarray}.
+    Returns {owner: [ring, …]} — exterior ring first (largest |area|),
+    remaining rings are holes (a courtyard building enclosing another
+    building's cell yields a holed host cell; one owner's cell union is
+    connected, so exactly one ring is the exterior).
     """
     from collections import defaultdict
 
@@ -162,7 +232,7 @@ def dissolve_cells(cells: list[np.ndarray], owners: np.ndarray,
                 count[e] = count.get(e, 0) + 1
         boundary = [e for e, c in count.items() if c == 1]
         if not boundary:
-            out[o] = np.empty((0, 2))
+            out[o] = []
             continue
         adj = defaultdict(list)
         for p, q in boundary:
@@ -194,6 +264,16 @@ def dissolve_cells(cells: list[np.ndarray], owners: np.ndarray,
                 used.add(e)
                 prev, cur = cur, nxt
             rings.append(ring)
-        best = max(rings, key=len)
-        out[o] = np.array([[p[0] * snap, p[1] * snap] for p in best])
+        arrs = []
+        for ring in rings:
+            if len(ring) < 3:
+                continue
+            arr = np.array([[p[0] * snap, p[1] * snap] for p in ring])
+            x, y = arr[:, 0], arr[:, 1]
+            area = abs(0.5 * float(np.sum(x * np.roll(y, -1)
+                                          - np.roll(x, -1) * y)))
+            arrs.append((area, arr))
+        # exterior = largest |area|; the rest are holes
+        arrs.sort(key=lambda t: -t[0])
+        out[o] = [a for _, a in arrs]
     return out

@@ -77,6 +77,8 @@ def knn_graph_bipartite(src_pts: DataFrame, dst_pts: DataFrame, k: int, *,
                         cell_size: float, metric: str = "euclidean") -> DataFrame:
     """Exact directed kNN: each src point → its k nearest dst points.
     Returns (src, dst, weight)."""
+    from ..crs import ensure_same_crs
+    ensure_same_crs(src_pts, dst_pts)
     B = float(cell_size)
     s = with_cell(src_pts, cell_size=B)
     d = with_cell(dst_pts, cell_size=B)
@@ -139,6 +141,8 @@ def fixed_radius_bipartite(src_pts: DataFrame, dst_pts: DataFrame,
                            radius: float, *, metric: str = "euclidean",
                            cell_size: float | None = None) -> DataFrame:
     """Directed radius join src→dst (proximity.py:2272-2316 radius variant)."""
+    from ..crs import ensure_same_crs
+    ensure_same_crs(src_pts, dst_pts)
     cell_size = cell_size or radius
     ring = max(1, math.ceil(radius / cell_size))
     s = with_cell(src_pts, cell_size=cell_size)

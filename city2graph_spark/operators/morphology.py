@@ -559,8 +559,15 @@ def morphological_graph(building_verts: DataFrame, mv: DataFrame,
     extent_buffer as the fallback cap), connected_to (M8) → isolated-place
     pruning (M13).  Reference sequencing: morphology.py:1990-2045.
     """
+    from ..crs import ensure_same_crs
+    ensure_same_crs(building_verts, mv)
     costs, _, _ = reachability_field(mv, center_xy)
-    mv_near = segments_within_network_distance(mv, costs, distance).persist()
+    # localCheckpoint (not persist): downstream layers self-join mv_near
+    # repeatedly — truncating the lineage keeps Catalyst from re-optimizing
+    # the full reachability plan inside every self-join (measured 89s → 4s
+    # on the connected_to layer at gate scale)
+    mv_near = segments_within_network_distance(mv, costs, distance) \
+        .localCheckpoint()
     cells = _build_tessellation(building_verts, mv_near, tessellation)
     return _layers_for_distance(
         cells, building_verts, mv, mv_near, costs, distance,
@@ -590,18 +597,21 @@ def morphological_graphs(building_verts: DataFrame, mv: DataFrame,
     dv = [float(d) for d in distances]
     if not dv:
         raise ValueError("distances must contain at least one value")
+    from ..crs import ensure_same_crs
+    ensure_same_crs(building_verts, mv)
     costs, _, _ = reachability_field(mv, center_xy)
-    mv_near_max = segments_within_network_distance(mv, costs, max(dv)).persist()
+    mv_near_max = segments_within_network_distance(mv, costs, max(dv)) \
+        .localCheckpoint()
     cells = _build_tessellation(building_verts, mv_near_max, tessellation)
     if tessellation == "enclosed":
-        cells = cells.persist()
+        cells = cells.localCheckpoint()
     out = {}
     for d in dv:
         # always filter from the FULL movement table: node ids in ``costs``
         # come from the full street graph
         mv_near = (mv_near_max if d == max(dv)
                    else segments_within_network_distance(mv, costs, d)
-                   .persist())
+                   .localCheckpoint())
         out[d] = _layers_for_distance(
             cells, building_verts, mv, mv_near, costs, d,
             extent_buffer=extent_buffer, clipping_buffer=clipping_buffer,
@@ -648,7 +658,7 @@ def _layers_for_distance(cells: DataFrame, building_verts: DataFrame,
                                  extent_buffer=extent_buffer,
                                  max_distance=distance)
     cells_kept = cells.join(kept.select(F.col("node_id").alias("place_id")),
-                            "place_id", "left_semi").persist()
+                            "place_id", "left_semi").localCheckpoint()
     pv = cells_kept.withColumnRenamed("place_id", "poly_id")
 
     # reference morphology.py:2408-2422 passes group_col="enclosure_index"

@@ -133,6 +133,8 @@ def group_nodes(verts: DataFrame, points: DataFrame, *,
 
     Returns (poly_id, node_id, weight).
     """
+    from ..crs import ensure_same_crs
+    ensure_same_crs(verts, points)
     ext = verts.where(F.col("ring") == 0)
     bbox = ext.groupBy("poly_id").agg(
         F.min("x").alias("xmin"), F.min("y").alias("ymin"),

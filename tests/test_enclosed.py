@@ -17,7 +17,10 @@ from city2graph_spark.geo.arrangement import (
     polygonize,
     sutherland_hodgman,
 )
-from city2graph_spark.geo.kernels import shoelace_area_centroid
+from city2graph_spark.geo.kernels import (
+    points_covered_by_ring,
+    shoelace_area_centroid,
+)
 from city2graph_spark.operators.morphology import (
     add_building_info,
     filter_adjacent_tessellation,
@@ -220,3 +223,55 @@ def test_morphological_graphs_shared(spark, mv, buildings):
     m200 = outs[200.0]["movements"].select("movement_id").dropDuplicates().count()
     m500 = outs[500.0]["movements"].select("movement_id").dropDuplicates().count()
     assert m200 <= m500
+
+
+def test_courtyard_hole_preserved(spark):
+    """Momepy cell-geometry parity: a courtyard building hosting another
+    building inside its hole yields a HOLED host cell (ring=1 rows), and
+    the cell areas still partition the enclosure exactly."""
+    # building 0: 20x20 footprint with a 10x10 courtyard hole;
+    # building 1: 4x4 inside the courtyard
+    b0 = [(0, 0, s, x, y) for s, (x, y) in enumerate(
+        [(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0), (0.0, 0.0)])]
+    b0 += [(0, 1, s, x, y) for s, (x, y) in enumerate(
+        [(5.0, 5.0), (5.0, 15.0), (15.0, 15.0), (15.0, 5.0), (5.0, 5.0)])]
+    b1 = _square(1, 10.0, 10.0, h=2.0)
+    bv = spark.createDataFrame(
+        b0 + b1, "poly_id long, ring long, seq long, x double, y double")
+    # one square street loop around the block (noded corners)
+    segs = [(-10.0, -10.0, 30.0, -10.0), (30.0, -10.0, 30.0, 30.0),
+            (30.0, 30.0, -10.0, 30.0), (-10.0, 30.0, -10.0, -10.0)]
+    rows = []
+    for mid, (ax, ay, bx, by) in enumerate(segs):
+        rows += [(mid, 0, ax, ay), (mid, 1, bx, by)]
+    mv = spark.createDataFrame(
+        rows, "movement_id long, seq long, x double, y double")
+    cells = enclosed_tessellation(bv, mv, segment=1.0,
+                                  limit=(-10.0, -10.0, 30.0, 30.0),
+                                  keep_empty=False).cache()
+    pdf = cells.toPandas()
+    assert set(pdf["place_id"]) == {0, 1}
+    # host cell has a hole ring
+    assert (pdf[pdf["place_id"] == 0]["ring"] >= 1).any()
+    assert (pdf[pdf["place_id"] == 1]["ring"] == 0).all()
+
+    def net_area(sub):
+        total = 0.0
+        for ri, grp in sub.groupby("ring"):
+            g = grp.sort_values("seq")
+            a = abs(shoelace_area_centroid(g["x"].to_numpy(),
+                                           g["y"].to_numpy())[0])
+            total += a if ri == 0 else -a
+        return total
+
+    a0 = net_area(pdf[pdf["place_id"] == 0])
+    a1 = net_area(pdf[pdf["place_id"] == 1])
+    # cells partition the 40x40 enclosure; without the hole a0 + a1 would
+    # overcount by the area of cell 1
+    assert abs(a0 + a1 - 1600.0) < 1e-3
+    assert a1 > 16.0  # cell 1 at least covers its footprint
+    # building 1's footprint is inside cell 1 (so inside the host's hole)
+    ring1 = pdf[(pdf["place_id"] == 1) & (pdf["ring"] == 0)].sort_values("seq")
+    vx, vy = ring1["x"].to_numpy(), ring1["y"].to_numpy()
+    got = points_covered_by_ring(np.array([10.0]), np.array([10.0]), vx, vy)
+    assert got[0]

@@ -56,8 +56,9 @@ def test_morphological_tessellation(spark, grid_buildings):
     total = sum(abs(shoelace_area_centroid(
         np.array([p[0] for p in ring]), np.array([p[1] for p in ring]))[0])
         for ring in rings.values())
-    # samples span [30,270]^2 (+/- jitter), buffer 50 → bbox 340x340
-    assert abs(total - 340.0 ** 2) / 340.0 ** 2 < 1e-3
+    # footprints shrink 0.4 before sampling (momepy parity) → samples span
+    # [30.4, 269.6]^2 (+/- jitter), buffer 50 → bbox 339.2x339.2
+    assert abs(total - 339.2 ** 2) / 339.2 ** 2 < 1e-3
 
     # every building centroid inside its own cell
     for pid, ring in rings.items():
@@ -79,3 +80,70 @@ def test_morphological_tessellation(spark, grid_buildings):
             if rr < 2:
                 expected_rook.add((p, p + 3))
     assert expected_rook <= rook
+
+
+def _norm_rings(cells_pdf):
+    """{poly_id: {ring: canonical vertex tuple}} — rotation/orientation
+    normalized so driver and distributed rings compare equal."""
+    out = {}
+    for (pid, ri), grp in cells_pdf.groupby(["poly_id", "ring"]):
+        g = grp.sort_values("seq")
+        pts = [(round(x, 6), round(y, 6)) for x, y in zip(g["x"], g["y"])]
+        best = None
+        for cand in (pts, pts[::-1]):
+            k = cand.index(min(cand))
+            rot = tuple(cand[k:] + cand[:k])
+            if best is None or rot < best:
+                best = rot
+        out.setdefault(pid, {})[ri] = best
+    return out
+
+
+def test_distributed_matches_driver(spark):
+    """The certified tiled path must produce the driver path's cells —
+    canon_circum makes shared vertices bit-identical, so after ring
+    normalization the vertex lists agree exactly (40 buildings, forced
+    through tiles of ~60 sites)."""
+    from city2graph_spark.operators.tessellation import (
+        morphological_tessellation_distributed,
+    )
+    rows = []
+    rng = np.random.default_rng(11)
+    centers = rng.random((40, 2)) * 900.0 + 50.0
+    for pid, (cx, cy) in enumerate(centers):
+        rows += _square(pid, float(cx), float(cy), 8.0)
+    bv = spark.createDataFrame(
+        rows, "poly_id long, ring long, seq long, x double, y double")
+    drv = morphological_tessellation(bv, segment=4.0, buffer=50.0,
+                                     driver_switch=10_000).toPandas()
+    dst = morphological_tessellation_distributed(
+        bv, segment=4.0, buffer=50.0, tile_points=60).toPandas()
+    nd, ns = _norm_rings(drv), _norm_rings(dst)
+    assert set(nd) == set(ns) == set(range(40))
+    mism = [pid for pid in nd if nd[pid] != ns[pid]]
+    assert mism == [], f"cells differ for {mism[:5]}"
+
+
+def test_distributed_dispatch_over_switch(spark):
+    """morphological_tessellation auto-routes to the distributed path
+    above driver_switch and the result still partitions the bbox."""
+    rows = []
+    for pid in range(30):
+        cx = 60.0 + (pid % 6) * 150.0
+        cy = 60.0 + (pid // 6) * 150.0
+        rows += _square(pid, cx, cy, 20.0)
+    bv = spark.createDataFrame(
+        rows, "poly_id long, ring long, seq long, x double, y double")
+    cells = morphological_tessellation(bv, segment=10.0, buffer=40.0,
+                                       driver_switch=5).toPandas()
+    assert set(cells["poly_id"]) == set(range(30))
+    total = 0.0
+    for (pid, ri), grp in cells.groupby(["poly_id", "ring"]):
+        g = grp.sort_values("seq")
+        a = abs(shoelace_area_centroid(g["x"].to_numpy(),
+                                       g["y"].to_numpy())[0])
+        total += a if ri == 0 else -a
+    # 6x5 grid: x footprints 60±20..810±20, y 60±20..660±20; shrink 0.4 →
+    # samples [40.4,829.6]×[40.4,679.6]; +40 buffer → bbox 869.2 × 719.2
+    expect = 869.2 * 719.2
+    assert abs(total - expect) / expect < 1e-3
