@@ -155,7 +155,18 @@ def group_nodes(verts: DataFrame, points: DataFrame, *,
         F.sort_array(F.collect_list(F.struct("seq", "x", "y"))).alias("_verts"))
     cand = cand.join(vlist, "poly_id")
 
-    pred = predicate
+    # reference proximity.py:2579-2595 accepts any gpd.sjoin predicate; for
+    # POINT-vs-polygon joins the DE-9IM predicates collapse onto two
+    # kernels: boundary-inclusive (covered_by ≡ intersects ≡ touches∪within
+    # for points) and boundary-exclusive (within ≡ contains_properly)
+    pred = (predicate or "covered_by").lower()
+    _ALIASES = {"covered_by": "covered_by", "intersects": "covered_by",
+                "contains": "covered_by", "covers": "covered_by",
+                "within": "within", "contains_properly": "within"}
+    if pred not in _ALIASES:
+        raise ValueError(f"unsupported sjoin predicate {predicate!r}; "
+                         f"one of {sorted(_ALIASES)}")
+    pred = _ALIASES[pred]
 
     def refine(it):
         import numpy as np

@@ -88,3 +88,16 @@ def test_group_nodes_boundary_inclusive(spark, verts):
     w = {(r.poly_id, r.node_id): r.weight
          for r in group_nodes(verts, pts).collect()}
     assert w[(IDS["A"], 1)] == 1.0
+    # reference accepts any sjoin predicate (proximity.py:2579-2595); for
+    # points, intersects ≡ covered_by and contains_properly ≡ within
+    inter = {(r.poly_id, r.node_id)
+             for r in group_nodes(verts, pts, predicate="intersects")
+             .collect()}
+    assert inter == got
+    cp = {(r.poly_id, r.node_id)
+          for r in group_nodes(verts, pts,
+                               predicate="contains_properly").collect()}
+    assert cp == strict
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unsupported sjoin predicate"):
+        group_nodes(verts, pts, predicate="crosses")
