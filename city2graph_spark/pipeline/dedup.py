@@ -36,13 +36,111 @@ def shingles(docs: DataFrame, *, n: int = 4, id_col: str = "doc_id",
             .dropDuplicates())
 
 
+def _mh_mix_constants(n_hashes: int) -> list[tuple[int, ...]]:
+    """Per-seed mix constants from one SplitMix64 stream — all 5·n values
+    distinct and odd (independent hash functions; a shared-constant table
+    correlates minima across seeds and inflates band collisions ~1.5× —
+    measured on sf0.1)."""
+    M = (1 << 64) - 1
+    x = 0x243F6A8885A308D3  # pi
+    out = []
+    for _ in range(n_hashes):
+        row = []
+        for _ in range(5):
+            x = (x + 0x9E3779B97F4A7C15) & M
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+            z ^= z >> 31
+            row.append(z | 1)
+        out.append(tuple(row))
+    return out
+
+
+_MH_MIX = _mh_mix_constants(8)
+
+
 def minhash_signatures(docs: DataFrame, *, n_hashes: int = 8,
-                       shingle_n: int = 4) -> DataFrame:
-    """(doc_id, sig array<long>): all ``n_hashes`` minima in ONE pass — a
-    single groupBy with n min-aggregates over seeded xxhash64 (JVM-side, a
-    fraction of md5's cost, and no n_hashes× row blowup; map-side partial
-    aggregation makes the shuffle one row per doc).  The md5 variant lives
-    only in the gate oracle, where cross-engine portability requires it."""
+                       shingle_n: int = 4, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, sig array<long>): all ``n_hashes`` minima per doc in ONE
+    fused mapInPandas pass — no shingle explode (the xxhash64 aggregate
+    variant still shuffled nothing but paid len(text) JVM rows/doc into the
+    hash aggregate; this kernel never materialises shingles at all).
+
+    Per Arrow batch: code points of every doc concatenate into one array,
+    4-gram windows become 4 strided uint64 lanes, each of ``n_hashes``
+    seeds applies a linear mix + SplitMix64 finalizer (universal hash +
+    strong mixer), and per-doc minima come from one
+    ``np.minimum.reduceat`` — min over the window multiset equals min over
+    the shingle SET, so deduplication is unnecessary.  Output rows = one
+    per doc; the downstream band join is unchanged.  The groupBy-aggregate
+    twin survives as :func:`minhash_signatures_agg` (plan comparison), the
+    md5 twin as the gate oracle."""
+    if n_hashes > len(_MH_MIX):
+        raise ValueError(f"n_hashes <= {len(_MH_MIX)}")
+    n = int(shingle_n)
+    mix = _MH_MIX[:n_hashes]
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+        mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+        c30, c27, c31 = np.uint64(30), np.uint64(27), np.uint64(31)
+        f1 = np.uint64(0xBF58476D1CE4E5B9)
+        f2 = np.uint64(0x94D049BB133111EB)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            texts = pdf[text_col].astype(str).tolist()
+            lens = np.array([len(t) for t in texts], dtype=np.int64)
+            nwin = np.maximum(lens - (n - 1), 1)
+            total = int(nwin.sum())
+            buf = "".join(texts)
+            cp = np.frombuffer(buf.encode("utf-32-le"), dtype=np.uint32) \
+                .astype(np.uint64)
+            doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            win_off = np.concatenate([[0], np.cumsum(nwin)[:-1]])
+            # start index (into cp) of every window, all docs at once
+            starts = np.repeat(doc_off, nwin) \
+                + (np.arange(total) - np.repeat(win_off, nwin))
+            lanes = []
+            cap = len(cp)
+            for k in range(n):
+                idx = starts + k
+                # short docs: window may run past the doc (and, for the
+                # last doc, past the buffer) — clamp and zero the overrun,
+                # mirroring substr()'s truncated final shingle
+                over = idx >= np.repeat(doc_off + lens, nwin)
+                lane = cp[np.minimum(idx, cap - 1)]
+                lane[over] = 0
+                lanes.append(lane)
+            sig = np.empty((len(pdf), n_hashes), dtype=np.uint64)
+            red = win_off  # reduceat segment starts
+            for j, (a, b, c, d, e) in enumerate(mix):
+                h = (np.uint64(a) * lanes[0] + np.uint64(b) * lanes[1]
+                     + np.uint64(c) * lanes[2 % n] + np.uint64(d) * lanes[3 % n]
+                     + np.uint64(e)) & mask
+                h ^= h >> c30
+                h = (h * f1) & mask
+                h ^= h >> c27
+                h = (h * f2) & mask
+                h ^= h >> c31
+                sig[:, j] = np.minimum.reduceat(h, red)
+            out = pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "sig": [row.astype(np.int64).tolist() for row in sig]})
+            yield out
+
+    return docs.select(id_col, text_col) \
+        .mapInPandas(batches, f"{id_col} long, sig array<long>")
+
+
+def minhash_signatures_agg(docs: DataFrame, *, n_hashes: int = 8,
+                           shingle_n: int = 4) -> DataFrame:
+    """xxhash64 one-pass groupBy variant (round-2 fast path, kept for plan
+    comparison): n min-aggregates over seeded xxhash64, map-side partial
+    aggregation ⇒ shuffle one row per doc."""
     sh = shingles(docs, n=shingle_n)
     mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"_h{j}")
             for j in range(n_hashes)]
