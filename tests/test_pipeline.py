@@ -53,8 +53,8 @@ def test_dedup_library_matches_gate_sql(spark):
 
 
 def test_minhash_fast_path_finds_planted_neardups(spark):
-    """The xxhash64 one-pass library path (the bench headliner) must bucket
-    planted near-duplicates together and stay deterministic."""
+    """The fused mapInPandas library path (the bench headliner) must
+    bucket planted near-duplicates together and stay deterministic."""
     base = "the quick brown fox jumps over the lazy dog " * 4
     docs = spark.createDataFrame(
         [(0, base), (1, base.replace("lazy", "hazy")), (2, "zzz completely different yyy"),
@@ -186,5 +186,39 @@ def test_streaming_stateful_dedup(spark):
                  .groupBy("user_id", F.md5(F.col("props").cast("string"))
                           .alias("h")).count())
         assert batch.count() == len(got)
+    finally:
+        q.stop()
+
+
+def test_streaming_bloom_dedup_bounded_state(spark):
+    """Bounded-state variant: per-key Bloom state — no duplicate is ever
+    emitted twice, and at event-table cardinality (far below the filter's
+    false-positive budget) the keeper set matches the exact path."""
+    from city2graph_spark.streaming.windows import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_bloom_dedup,
+    )
+    d = tempfile.mkdtemp()
+    shutil.copy(f"{SF}/events.parquet", f"{d}/events.parquet")
+    stream = read_event_stream(spark, d)
+    q = run_stream_to_memory(streaming_bloom_dedup(stream), "bloom_out",
+                             mode="append")
+    try:
+        got = spark.sql("SELECT * FROM bloom_out").collect()
+        keys = {(r.user_id, r.content_hash) for r in got}
+        assert len(keys) == len(got) > 0   # never emits a dup twice
+        batch = (spark.read.parquet(f"{d}/events.parquet")
+                 .groupBy("user_id", F.md5(F.col("props").cast("string"))
+                          .alias("h")).count())
+        n_exact = batch.count()
+        # false-positive drops only; at this cardinality expect none
+        assert len(got) <= n_exact
+        assert len(got) >= int(n_exact * 0.99)
+        # state is fixed-size: distinct_seen monotone per key, bounded
+        per_key = {}
+        for r in got:
+            per_key.setdefault(r.user_id, []).append(r.distinct_seen)
+        assert all(max(v) <= 6000 for v in per_key.values())
     finally:
         q.stop()
