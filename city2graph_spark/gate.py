@@ -1026,6 +1026,87 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# Raster ↔ vector gate rows (north-rule surface; reference is vector-only,
+# so the oracles are definitional arithmetic)
+# --------------------------------------------------------------------------
+
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster binning of the derived points at cell 250 with an
+    exact integer-valued sum (floor(x)+floor(y) per point: integer doubles
+    ⇒ order-independent sums, hash-identical cross-engine)."""
+    from .operators.raster import rasterize_points
+    pts = derived_points(spark, sf_dir).withColumn(
+        "v", F.floor("x") + F.floor("y"))
+    out = rasterize_points(pts, cell_size=250.0, value_col="v")
+    return out.select("px", "py", F.col("n").cast("long").alias("n"),
+                      F.col("value_sum").cast("long").alias("value_sum"))
+
+
+def _rasterize_oracle() -> str:
+    return f"""
+WITH {POINTS_CTE}
+SELECT CAST(floor(x / 250.0) AS BIGINT) AS px,
+       CAST(floor(y / 250.0) AS BIGINT) AS py,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(floor(x) + floor(y)) AS BIGINT) AS value_sum
+FROM pts GROUP BY px, py
+"""
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zonal_stats end-to-end THROUGH the PIP join: pixels derived from
+    doc ids (centers never on zone edges, so coverage is unambiguous),
+    zones = a 5×10 grid of 100×100 squares built as polygon vertex tables;
+    the Spark side runs the real group_nodes cell-join + PIP kernel, the
+    oracle reduces to floor arithmetic."""
+    from .operators.raster import zonal_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raster = docs.select(
+        (F.col("doc_id") % 25).alias("px"),
+        F.expr("doc_id DIV 25").alias("py"),
+        (F.col("doc_id") % 97).alias("value"))
+    gx = spark.range(5).select(F.col("id").alias("gx"))
+    gy = spark.range(10).select(F.col("id").alias("gy"))
+    corners = F.array(
+        F.struct(F.lit(0).alias("seq"), (F.col("gx") * 50.0).alias("x"),
+                 (F.col("gy") * 50.0).alias("y")),
+        F.struct(F.lit(1).alias("seq"), (F.col("gx") * 50.0 + 50).alias("x"),
+                 (F.col("gy") * 50.0).alias("y")),
+        F.struct(F.lit(2).alias("seq"), (F.col("gx") * 50.0 + 50).alias("x"),
+                 (F.col("gy") * 50.0 + 50).alias("y")),
+        F.struct(F.lit(3).alias("seq"), (F.col("gx") * 50.0).alias("x"),
+                 (F.col("gy") * 50.0 + 50).alias("y")))
+    zones = (gx.crossJoin(gy)
+             .select((F.col("gx") * 10 + F.col("gy")).alias("poly_id"),
+                     F.explode(corners).alias("c"))
+             .select("poly_id", F.lit(0).alias("ring"),
+                     F.col("c.seq").alias("seq"), F.col("c.x").alias("x"),
+                     F.col("c.y").alias("y")))
+    out = zonal_stats(raster, zones, cell_size=10.0)
+    return out.select(F.col("zone_id").cast("long").alias("zone_id"),
+                      F.col("n").cast("long").alias("n"),
+                      F.col("value_sum").cast("long").alias("value_sum"),
+                      F.col("value_min").cast("long").alias("value_min"),
+                      F.col("value_max").cast("long").alias("value_max"))
+
+
+def _zonal_stats_oracle() -> str:
+    # pixel center (px+0.5)·10 lies in zone gx = (px DIV 5) of the 50m
+    # grid (centers at odd multiples of 5 never sit on a zone edge);
+    # (px, py) = (doc_id % 25, doc_id DIV 25) is injective per doc
+    return """
+WITH pix AS (SELECT doc_id % 25 AS px, doc_id // 25 AS py,
+                    doc_id % 97 AS v FROM documents)
+SELECT CAST((px // 5) * 10 + (py // 5) AS BIGINT) AS zone_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS value_sum,
+       CAST(MIN(v) AS BIGINT) AS value_min,
+       CAST(MAX(v) AS BIGINT) AS value_max
+FROM pix GROUP BY zone_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Full morphological-graph DAG gate row (M1+M6+M7+M8+M9/M10/M11+M13
 # end-to-end on the strip fixture — VERDICT r02 Next #1).
 # --------------------------------------------------------------------------
@@ -1386,6 +1467,8 @@ _SPATIAL_QUERIES = {
     "metapath_undirected": (q_metapath_undirected,
                             _metapath_undirected_oracle),
     "morphological_dag": (q_morphological_dag, _morphological_dag_oracle),
+    "rasterize": (q_rasterize, _rasterize_oracle),
+    "zonal_stats": (q_zonal_stats, _zonal_stats_oracle),
     "gtfs_od_pairs": (q_gtfs_od_pairs, _gtfs_od_oracle),
     "gtfs_travel_summary": (q_gtfs_travel_summary,
                             _gtfs_travel_summary_oracle),
