@@ -44,3 +44,23 @@ def test_resume_and_lineage(spark):
     ck2.invalidate("a")
     out3 = ck2.stage("b", build_b, inputs=["a"])
     assert out3.count() == 50 and calls == {"a": 2, "b": 2}
+
+
+def test_cli_entry_runs_and_resumes(spark, tmp_path, capsys):
+    """cli.py (the spark-submit entry): any registered gate query runs as a
+    checkpointed job; a second invocation resumes from the manifest."""
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import cli
+    args = ["--job", "rasterize", "--sf-dir", "/root/testdata/sf0.001",
+            "--output", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ckpt")]
+    assert cli.main(args) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["rows"] > 0 and first["resumed"] is False
+    assert cli.main(args) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["resumed"] is True
+    assert second["fingerprint"] == first["fingerprint"]
+    assert second["rows"] == first["rows"]
