@@ -1053,6 +1053,34 @@ FROM pts GROUP BY px, py
 """
 
 
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical multi-resolution cell rollup (the hypertable-rollup
+    shape) over the derived points: 4 levels from 125 m, each aggregated
+    from the previous level's partials — the oracle recomputes every level
+    directly from the raw coordinates (floor(x/(125·2^r)) equals the
+    iterated halving exactly: all quantities are exact integers in
+    doubles)."""
+    from .index import multires_rollup
+    pts = derived_points(spark, sf_dir)
+    out = multires_rollup(pts, base_cell_size=125.0, levels=4)
+    return out.select(F.col("res").cast("long").alias("res"),
+                      F.col("cell").cast("long").alias("cell"),
+                      F.col("n").cast("long").alias("n"))
+
+
+def _multires_rollup_oracle() -> str:
+    return f"""
+WITH {POINTS_CTE},
+lv AS (SELECT unnest(generate_series(0, 3)) AS r)
+SELECT CAST(r AS BIGINT) AS res,
+       (CAST(floor(x / (125.0 * pow(2, r))) AS BIGINT) + 1048576) * 2097152
+         + CAST(floor(y / (125.0 * pow(2, r))) AS BIGINT) + 1048576 AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pts CROSS JOIN lv
+GROUP BY res, cell
+"""
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zonal_stats end-to-end THROUGH the PIP join: pixels derived from
     doc ids (centers never on zone edges, so coverage is unambiguous),
@@ -1469,6 +1497,7 @@ _SPATIAL_QUERIES = {
     "morphological_dag": (q_morphological_dag, _morphological_dag_oracle),
     "rasterize": (q_rasterize, _rasterize_oracle),
     "zonal_stats": (q_zonal_stats, _zonal_stats_oracle),
+    "multires_rollup": (q_multires_rollup, _multires_rollup_oracle),
     "gtfs_od_pairs": (q_gtfs_od_pairs, _gtfs_od_oracle),
     "gtfs_travel_summary": (q_gtfs_travel_summary,
                             _gtfs_travel_summary_oracle),

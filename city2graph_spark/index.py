@@ -109,3 +109,46 @@ def explode_salt(df: DataFrame, *, buckets: int, out: str = "salt") -> DataFrame
     """Replicate each row across all salt buckets (build side of a salted
     join against a :func:`with_salt`-ed probe side)."""
     return df.withColumn(out, F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
+
+
+def parent_cell(cell: Column, *, levels: int = 1) -> Column:
+    """Parent id ``levels`` up the implicit quadtree over the packed cell
+    grid (H3/S2-style hierarchy on the engine's flat index): each axis
+    index halves per level.  Axis indices are offset-biased; unbias →
+    arithmetic shift (floor semantics for negatives) → rebias, all JVM
+    column arithmetic."""
+    cx = F.floor(cell / F.lit(CELL_SHIFT)).cast("long")
+    cy = (cell - cx * F.lit(CELL_SHIFT)).cast("long")
+    pcx = F.shiftright(cx - F.lit(CELL_OFFSET), levels) + F.lit(CELL_OFFSET)
+    pcy = F.shiftright(cy - F.lit(CELL_OFFSET), levels) + F.lit(CELL_OFFSET)
+    return pack_cell(pcx, pcy)
+
+
+def multires_rollup(points: DataFrame, *, base_cell_size: float,
+                    levels: int, x: str = "x", y: str = "y",
+                    agg_col: str | None = None) -> DataFrame:
+    """Hierarchical multi-resolution aggregation (the hypertable-rollup
+    shape): counts (+ optional sums) per cell at ``levels`` resolutions,
+    each coarser level aggregated FROM the finer one — level r reads
+    level r−1's partial results, so the raw table is scanned exactly once
+    and every rollup shuffle shrinks 4× per level.
+
+    Returns (res, cell, n[, value_sum]) with ``res`` = 0 for
+    ``base_cell_size`` and r for ``base_cell_size·2^r``."""
+    df = with_cell(points, x=x, y=y, cell_size=base_cell_size)
+    aggs = [F.count("*").alias("n")]
+    if agg_col is not None:
+        aggs.append(F.sum(agg_col).alias("value_sum"))
+    cur = df.groupBy("cell").agg(*aggs)
+    out = cur.select(F.lit(0).alias("res"), "cell", "n",
+                     *([F.col("value_sum")] if agg_col else []))
+    for r in range(1, levels):
+        re_aggs = [F.sum("n").alias("n")]
+        if agg_col is not None:
+            re_aggs.append(F.sum("value_sum").alias("value_sum"))
+        cur = (cur.withColumn("cell", parent_cell(F.col("cell")))
+               .groupBy("cell").agg(*re_aggs))
+        out = out.unionByName(
+            cur.select(F.lit(r).alias("res"), "cell", "n",
+                       *([F.col("value_sum")] if agg_col else [])))
+    return out

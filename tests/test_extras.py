@@ -109,3 +109,23 @@ def test_validate_tables(spark):
         validate_edges(e_bad, weight="weight")
     m2 = str(e2.value)
     assert "self-loops" in m2 and "null endpoints" in m2 and "negative" in m2
+
+
+def test_multires_rollup_hierarchy(spark):
+    """Each coarser level's counts are exact sums of its children (the
+    rollup reads partials, never the raw table twice)."""
+    from city2graph_spark.index import multires_rollup, parent_cell
+    import pyspark.sql.functions as F
+    pts = spark.createDataFrame(
+        [(i, float(i % 40) * 10.0, float(i // 40) * 10.0)
+         for i in range(400)], "node_id long, x double, y double")
+    out = multires_rollup(pts, base_cell_size=100.0, levels=3).cache()
+    tot = {r.res: r.s for r in
+           out.groupBy("res").agg(F.sum("n").alias("s")).collect()}
+    assert tot == {0: 400, 1: 400, 2: 400}
+    # parent consistency: child counts grouped by parent == next level
+    lvl0 = out.where("res = 0")
+    re = (lvl0.withColumn("pcell", parent_cell(F.col("cell")))
+          .groupBy("pcell").agg(F.sum("n").alias("n")))
+    lvl1 = {(r.cell): r.n for r in out.where("res = 1").collect()}
+    assert {r.pcell: r.n for r in re.collect()} == lvl1
