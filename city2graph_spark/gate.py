@@ -786,6 +786,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann_topk(emb, 3)
 
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: IVF approximate top-k — distributed spherical
+    k-means coarse quantizer + n_probe bucket equi-join + exact JVM rerank
+    (deterministic seeded init; recall ≥0.85 asserted in pytest — no
+    SQL-expressible oracle for the approximate path by design)."""
+    from .pipeline.simsearch import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, 3, n_centroids=16, n_probe=4)
+
 # --------------------------------------------------------------------------
 # P3/P6 hard-signal gate rows: Delaunay + EMST on closed-form fixtures
 # (VERDICT r02 Missing #3 — the two §2.1 operators the driver signal never
@@ -1476,6 +1486,7 @@ _SPATIAL_QUERIES = {
     "embedding_topk": (q_embedding_topk, lambda: sql_embedding_topk("duckdb")),
     "ann_lsh": (q_ann_lsh, None),
     "ann_topk": (q_ann_topk, None),
+    "ivf_topk": (q_ivf_topk, None),
     "spans_extract": (q_spans_extract, _spans_extract_oracle),
     "segments_to_graph": (q_segments_to_graph, _segments_oracle),
     "dual_graph": (q_dual_graph, _dual_oracle),
