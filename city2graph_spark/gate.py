@@ -1063,6 +1063,39 @@ FROM pts GROUP BY px, py
 """
 
 
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal 3×3 moving-window aggregation over the binned point raster
+    (value = pixel count — exact integers, so sums/mins/maxes are
+    hash-identical cross-engine)."""
+    from .operators.raster import focal_stats, rasterize_points
+    ras = rasterize_points(derived_points(spark, sf_dir), cell_size=250.0) \
+        .withColumnRenamed("n", "value")
+    out = focal_stats(ras, radius=1)
+    return out.select("px", "py",
+                      F.col("n_nbrs").cast("long").alias("n_nbrs"),
+                      F.col("value_sum").cast("long").alias("value_sum"),
+                      F.col("value_min").cast("long").alias("value_min"),
+                      F.col("value_max").cast("long").alias("value_max"))
+
+
+def _focal_stats_oracle() -> str:
+    return f"""
+WITH {POINTS_CTE},
+ras AS (SELECT CAST(floor(x / 250.0) AS BIGINT) AS px,
+               CAST(floor(y / 250.0) AS BIGINT) AS py,
+               COUNT(*) AS v
+        FROM pts GROUP BY 1, 2)
+SELECT a.px, a.py,
+       CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+       CAST(SUM(b.v) AS BIGINT) AS value_sum,
+       CAST(MIN(b.v) AS BIGINT) AS value_min,
+       CAST(MAX(b.v) AS BIGINT) AS value_max
+FROM ras a JOIN ras b
+  ON abs(a.px - b.px) <= 1 AND abs(a.py - b.py) <= 1
+GROUP BY a.px, a.py
+"""
+
+
 def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical multi-resolution cell rollup (the hypertable-rollup
     shape) over the derived points: 4 levels from 125 m, each aggregated
@@ -1509,6 +1542,7 @@ _SPATIAL_QUERIES = {
     "rasterize": (q_rasterize, _rasterize_oracle),
     "zonal_stats": (q_zonal_stats, _zonal_stats_oracle),
     "multires_rollup": (q_multires_rollup, _multires_rollup_oracle),
+    "focal_stats": (q_focal_stats, _focal_stats_oracle),
     "gtfs_od_pairs": (q_gtfs_od_pairs, _gtfs_od_oracle),
     "gtfs_travel_summary": (q_gtfs_travel_summary,
                             _gtfs_travel_summary_oracle),

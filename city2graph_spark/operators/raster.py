@@ -212,3 +212,34 @@ def zonal_stats(raster: DataFrame, zone_verts: DataFrame, *,
                  F.sum("_v").alias("value_sum"),
                  F.min("_v").alias("value_min"),
                  F.max("_v").alias("value_max")))
+
+
+def focal_stats(raster: DataFrame, *, radius: int = 1,
+                value_col: str = "value",
+                include_center: bool = True) -> DataFrame:
+    """Focal (moving-window) statistics — the raster convolution shape:
+    for every pixel, aggregate ``value_col`` over its (2r+1)² Chebyshev
+    neighborhood.  Implemented as an offset-explode equi-join (each pixel
+    contributes itself to every neighbor's window — one shuffle keyed by
+    pixel, volume (2r+1)²·|raster|), so it scales like every other cell
+    join in the engine; no window functions, no per-row Python.
+
+    Returns (px, py, n_nbrs, value_sum, value_min, value_max) for every
+    pixel PRESENT in the input (missing neighbors simply don't
+    contribute — GDAL's nodata-skipping semantics)."""
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+        if include_center or (dx, dy) != (0, 0)])
+    contrib = (raster
+               .withColumn("_o", F.explode(offs))
+               .select((F.col("px") + F.col("_o.dx")).alias("px"),
+                       (F.col("py") + F.col("_o.dy")).alias("py"),
+                       F.col(value_col).alias("_v")))
+    wins = (contrib.groupBy("px", "py")
+            .agg(F.count("*").alias("n_nbrs"),
+                 F.sum("_v").alias("value_sum"),
+                 F.min("_v").alias("value_min"),
+                 F.max("_v").alias("value_max")))
+    return raster.select("px", "py").join(wins, ["px", "py"])

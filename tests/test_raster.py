@@ -104,3 +104,22 @@ def test_raster_vector_roundtrip(spark):
     a, cx, cy = shoelace_area_centroid(g["x"].to_numpy(), g["y"].to_numpy())
     assert abs(abs(a) - 40 * 30) < 1e-9
     assert (cx, cy) == (20.0, 15.0)
+
+
+def test_focal_stats_window_sums(spark):
+    from city2graph_spark.operators.raster import focal_stats
+    # 3x3 full grid, value = px + 10*py
+    rows = [(px, py, px + 10 * py) for px in range(3) for py in range(3)]
+    raster = spark.createDataFrame(rows, "px long, py long, value long")
+    got = {(r.px, r.py): (r.n_nbrs, r.value_sum) for r in
+           focal_stats(raster, radius=1).collect()}
+    vals = {(px, py): v for px, py, v in rows}
+    for (px, py), (n, s) in got.items():
+        nb = [vals[(qx, qy)] for qx in range(px - 1, px + 2)
+              for qy in range(py - 1, py + 2) if (qx, qy) in vals]
+        assert (n, s) == (len(nb), sum(nb)), (px, py)
+    assert got[(1, 1)][0] == 9 and got[(0, 0)][0] == 4
+    # exclude-center variant
+    noc = {(r.px, r.py): r.n_nbrs for r in
+           focal_stats(raster, radius=1, include_center=False).collect()}
+    assert noc[(1, 1)] == 8 and noc[(0, 0)] == 3
