@@ -254,7 +254,7 @@ def simhash_neardup_pairs(docs: DataFrame, *, bits: int = 16,
 
 def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 4,
                         threshold: float = 0.5,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = 100) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold (shingle equi-join —
     never a cross join).
 
@@ -264,7 +264,9 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 4,
     self-join, capping the worst hot-key fan-out at max_shingle_df² rows
     instead of n_docs².  Hot shingles carry no near-dup signal (they match
     everything), so at a corpus scale this is the difference between a
-    bounded join and a quadratic one.  None = exact, uncapped."""
+    bounded join and a quadratic one.  The default (100, matching the gate
+    dialects) is the safe production posture; pass None for the exact
+    uncapped join on small corpora."""
     sh = shingles(docs, n=n)
     if max_shingle_df is not None:
         rare = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
