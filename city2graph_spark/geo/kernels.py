@@ -80,6 +80,33 @@ def points_within_ring(px: np.ndarray, py: np.ndarray,
     return inside & ~on_edge
 
 
+def points_in_polygon(px: np.ndarray, py: np.ndarray,
+                      rings: list[tuple[np.ndarray, np.ndarray]],
+                      mode: str = "covered_by") -> np.ndarray:
+    """Hole-aware point-in-polygon over a full ring list (ring 0 =
+    exterior, ring ≥ 1 = holes) — even-odd composition of the single-ring
+    kernels, matching gpd/GEOS full-geometry sjoin semantics
+    (reference proximity.py:2579-2595):
+
+    - ``covered_by`` (boundary-inclusive): covered by the exterior AND not
+      STRICTLY inside any hole (a point on a hole's boundary is on the
+      polygon boundary ⇒ still covered).
+    - ``within`` (strict interior): strictly inside the exterior AND not in
+      the CLOSURE of any hole (a hole-boundary point is on the polygon
+      boundary ⇒ not within).
+    """
+    (ex, ey), holes = rings[0], rings[1:]
+    if mode == "within":
+        m = points_within_ring(px, py, ex, ey)
+        for hx, hy in holes:
+            m &= ~points_covered_by_ring(px, py, hx, hy)
+    else:
+        m = points_covered_by_ring(px, py, ex, ey)
+        for hx, hy in holes:
+            m &= ~points_within_ring(px, py, hx, hy)
+    return m
+
+
 def point_segment_distance(px: np.ndarray, py: np.ndarray,
                            ax: np.ndarray, ay: np.ndarray,
                            bx: np.ndarray, by: np.ndarray

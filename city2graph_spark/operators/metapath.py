@@ -18,11 +18,11 @@ Reference semantics (/root/reference/city2graph/metapath.py):
   shortest-path cost over selected edge types lies in
   [min_threshold, threshold] — see ``net.broadcast_sssp`` for the traversal.
 
-Spark shape: pure relational — a chain of equi-joins, string path
-signatures built from JVM-side concat/least (orientation choice =
-lexicographic string comparison, deterministic and identical in any ANSI
-engine; the reference orders by (type-name, str(value)) keys, which agrees
-for homogeneous id types), one dropDuplicates, one groupBy.  Catalyst
+Spark shape: pure relational — a chain of equi-joins, path signatures as
+JVM-side array<struct> columns compared in the ids' native type (numeric
+ids order numerically; string ids can't alias across hop boundaries —
+no delimiter-joined strings), one canonical-min groupBy per signature,
+one terminal groupBy.  Catalyst
 reorders/broadcasts the hop joins; hop frames are typically tiny vs the
 document table, so the chain usually compiles to broadcast joins.
 Edge identity is the (src, dst) pair — the reference's extra MultiIndex
@@ -70,19 +70,24 @@ def add_metapath(hops: list[DataFrame], *, attrs: list[str] | None = None,
         cur = cur.select(F.col("_n0").alias("src"),
                          F.col(f"_n{n}").alias("dst"), *path_vals)
     else:
-        # canonical per-hop edge signature: ordered terminal pair
-        esigs = [F.concat_ws(":",
-                             F.least(F.col(f"_n{i}"), F.col(f"_n{i + 1}"))
-                             .cast("string"),
-                             F.greatest(F.col(f"_n{i}"), F.col(f"_n{i + 1}"))
-                             .cast("string"))
-                 for i in range(n)]
-        sig = F.least(F.concat_ws("|", *esigs),
-                      F.concat_ws("|", *reversed(esigs)))
-        nodes_f = F.concat_ws("|", *[F.col(f"_n{i}").cast("string")
-                                     for i in range(n + 1)])
-        nodes_r = F.concat_ws("|", *[F.col(f"_n{i}").cast("string")
-                                     for i in range(n, -1, -1)])
+        # canonical per-hop edge signature: ordered terminal pair as
+        # array<struct<string>> columns compared ELEMENT-WISE — the exact
+        # shape of the reference's per-value (type, repr) sort keys
+        # (metapath.py:1003-1021: repr-string order, tuple-compared element
+        # by element).  Arrays are orderable/groupable in Spark, so there is
+        # no delimiter-joined string: ids containing a would-be delimiter
+        # can't alias two paths onto one signature, and a value that is a
+        # string-prefix of another ("1" vs "12") orders exactly as the
+        # reference's tuple compare does (a joined string would rank the
+        # delimiter byte against the next digit instead).
+        skeys = [F.col(f"_n{i}").cast("string") for i in range(n + 1)]
+        esigs = [F.struct(
+            F.least(skeys[i], skeys[i + 1]).alias("a"),
+            F.greatest(skeys[i], skeys[i + 1]).alias("b"))
+            for i in range(n)]
+        sig = F.least(F.array(*esigs), F.array(*reversed(esigs)))
+        nodes_f = F.array(*skeys)
+        nodes_r = F.array(*reversed(skeys))
         fwd = nodes_f <= nodes_r
         cur = cur.select(
             sig.alias("_sig"),

@@ -46,22 +46,45 @@ def polygons_from_wkt(df: DataFrame, id_col: str = "poly_id",
                                   "x double, y double")
 
 
+def _poly_id_dtype(df: DataFrame) -> str:
+    """Spark SQL dtype of the poly_id column (long for numeric tables,
+    string for composite keys) — lets the pandas passes carry either."""
+    return dict(df.dtypes).get("poly_id", "bigint")
+
+
 def polygon_centroids(verts: DataFrame) -> DataFrame:
-    """(poly_id, cx, cy): exterior-ring shoelace area centroid."""
-    ext = verts.where(F.col("ring") == 0)
+    """(poly_id, cx, cy): hole-aware shoelace area centroid — holes (ring
+    ≥ 1) subtract their area-weighted centroid from the exterior's, the
+    GEOS/shapely ``centroid`` of a holed polygon (degenerate net area
+    falls back to the exterior vertex mean)."""
+    dt = _poly_id_dtype(verts)
 
     def cent(pdf):
         import numpy as np
         import pandas as pd
         from ..geo.kernels import shoelace_area_centroid
-        pdf = pdf.sort_values("seq")
-        _, cx, cy = shoelace_area_centroid(pdf["x"].to_numpy(),
-                                           pdf["y"].to_numpy())
+        num = den = 0.0
+        numx = numy = 0.0
+        fx = fy = 0.0
+        for ring, grp in pdf.groupby("ring"):
+            grp = grp.sort_values("seq")
+            a, cx, cy = shoelace_area_centroid(grp["x"].to_numpy(),
+                                               grp["y"].to_numpy())
+            a = abs(a)
+            if ring == 0:
+                fx, fy = cx, cy
+                numx += a * cx; numy += a * cy; den += a
+            else:
+                numx -= a * cx; numy -= a * cy; den -= a
+        if den <= 0.0:
+            cx, cy = fx, fy
+        else:
+            cx, cy = numx / den, numy / den
         return pd.DataFrame({"poly_id": [pdf["poly_id"].iloc[0]],
                              "cx": [cx], "cy": [cy]})
 
-    return ext.groupBy("poly_id").applyInPandas(
-        cent, "poly_id long, cx double, cy double")
+    return verts.groupBy("poly_id").applyInPandas(
+        cent, f"poly_id {dt}, cx double, cy double")
 
 
 def _dedup_vertices(verts: DataFrame) -> DataFrame:
@@ -135,6 +158,7 @@ def group_nodes(verts: DataFrame, points: DataFrame, *,
     """
     from ..crs import ensure_same_crs
     ensure_same_crs(verts, points)
+    dt = _poly_id_dtype(verts)
     ext = verts.where(F.col("ring") == 0)
     bbox = ext.groupBy("poly_id").agg(
         F.min("x").alias("xmin"), F.min("y").alias("ymin"),
@@ -151,8 +175,12 @@ def group_nodes(verts: DataFrame, points: DataFrame, *,
     cand = cover.join(pts, cover.qcell == pts.cell) \
                 .select("poly_id", "node_id", "x", "y")
 
-    vlist = ext.groupBy("poly_id").agg(
-        F.sort_array(F.collect_list(F.struct("seq", "x", "y"))).alias("_verts"))
+    # ALL rings ride along (ring, seq) sorted — holes are first-class:
+    # a point in a courtyard hole is NOT covered (even-odd composition in
+    # geo.kernels.points_in_polygon; reference sjoin uses full geometry)
+    vlist = verts.groupBy("poly_id").agg(
+        F.sort_array(F.collect_list(F.struct("ring", "seq", "x", "y")))
+         .alias("_verts"))
     cand = cand.join(vlist, "poly_id")
 
     # reference proximity.py:2579-2595 accepts any gpd.sjoin predicate; for
@@ -171,19 +199,21 @@ def group_nodes(verts: DataFrame, points: DataFrame, *,
     def refine(it):
         import numpy as np
         import pandas as pd
-        from ..geo.kernels import points_covered_by_ring, points_within_ring
-        fn = points_within_ring if pred == "within" else points_covered_by_ring
+        from ..geo.kernels import points_in_polygon
         for pdf in it:
             if len(pdf) == 0:
                 continue
             out = []
             for pid, grp in pdf.groupby("poly_id", sort=False):
                 vs = grp["_verts"].iloc[0]
+                rid = np.array([v["ring"] for v in vs])
                 vx = np.array([v["x"] for v in vs])
                 vy = np.array([v["y"] for v in vs])
+                rings = [(vx[rid == r], vy[rid == r])
+                         for r in np.unique(rid)]
                 px = grp["x"].to_numpy()
                 py = grp["y"].to_numpy()
-                m = fn(px, py, vx, vy)
+                m = points_in_polygon(px, py, rings, mode=pred)
                 if m.any():
                     out.append(pd.DataFrame({
                         "poly_id": pid, "node_id": grp["node_id"].to_numpy()[m],
@@ -191,7 +221,7 @@ def group_nodes(verts: DataFrame, points: DataFrame, *,
             if out:
                 yield pd.concat(out)
 
-    hits = cand.mapInPandas(refine, "poly_id long, node_id long, "
+    hits = cand.mapInPandas(refine, f"poly_id {dt}, node_id long, "
                                     "x double, y double")
     cents = polygon_centroids(verts)
     out = hits.join(cents, "poly_id")

@@ -36,6 +36,20 @@ def _px(col, origin: float, cell_size: float):
         .cast("long")
 
 
+# Pixel-key packing: bias both axes (like index.pack_cell's CELL_OFFSET) so
+# negative pixel indices — routine with origin=(0,0) over negative projected
+# coordinates — stay injective.  Injective for px,py ∈ [−2^21, 2^21); a
+# raster outside that is > 4M pixels on an axis, beyond any single grid
+# this engine addresses un-tiled.
+PIXEL_AXIS_BITS = 22
+PIXEL_OFFSET = 1 << (PIXEL_AXIS_BITS - 1)
+
+
+def _pack_pixel(px, py):
+    return ((px + F.lit(PIXEL_OFFSET)) * F.lit(1 << PIXEL_AXIS_BITS)
+            + (py + F.lit(PIXEL_OFFSET))).cast("long")
+
+
 def rasterize_points(points: DataFrame, *, cell_size: float,
                      origin: tuple[float, float] = (0.0, 0.0),
                      value_col: str | None = None) -> DataFrame:
@@ -71,8 +85,7 @@ def rasterize_polygons(verts: DataFrame, *, cell_size: float,
                 _px(F.col("ymax"), origin[1], cell_size))))
             .select("poly_id", "px", "py"))
     centers = (cand.select("px", "py").dropDuplicates()
-               .withColumn("node_id",
-                           F.col("px") * F.lit(1 << 22) + F.col("py"))
+               .withColumn("node_id", _pack_pixel(F.col("px"), F.col("py")))
                .withColumn("x", (F.col("px") + 0.5) * cell_size + origin[0])
                .withColumn("y", (F.col("py") + 0.5) * cell_size + origin[1]))
     hits = group_nodes(verts, centers.select("node_id", "x", "y"),
@@ -97,7 +110,7 @@ def raster_regions(raster: DataFrame, *, value_col: str = "value",
     from the distributed connected-components (min pixel key per region).
     Returns the raster + ``region`` column."""
     from .topology import connected_components
-    key = (F.col("px") * F.lit(1 << 22) + F.col("py")).alias("node_id")
+    key = _pack_pixel(F.col("px"), F.col("py")).alias("node_id")
     px = raster.select(key, "px", "py", F.col(value_col).alias("_v"))
     offs = [(1, 0), (0, 1)]
     if connectivity == 8:
@@ -117,7 +130,7 @@ def raster_regions(raster: DataFrame, *, value_col: str = "value",
         .select(F.col("node").alias("node_id"),
                 F.col("component").alias("region"))
     out = raster.withColumn(
-        "node_id", F.col("px") * F.lit(1 << 22) + F.col("py"))
+        "node_id", _pack_pixel(F.col("px"), F.col("py")))
     return out.join(cc, "node_id").drop("node_id")
 
 
@@ -134,9 +147,17 @@ def raster_to_polygons(raster: DataFrame, *, cell_size: float,
                              connectivity=connectivity)
 
     def dissolve(key, pdf):
+        import math
         import numpy as np
         import pandas as pd
         from collections import defaultdict
+        # each pixel square emits its 4 edges CCW (interior on the LEFT of
+        # the travel direction); a shared edge appears once per direction
+        # and cancels.  Keeping the surviving edges DIRECTED makes tracing
+        # unambiguous even at degree-4 pinch vertices (8-connected regions
+        # touching diagonally): follow outgoing edges, and when two are
+        # available take the sharpest LEFT turn — interior-left is
+        # preserved, each touching ring closes separately.
         count: dict = {}
         for px_, py_ in zip(pdf["px"], pdf["py"]):
             c = [((px_, py_), (px_ + 1, py_)),
@@ -145,14 +166,16 @@ def raster_to_polygons(raster: DataFrame, *, cell_size: float,
                  ((px_, py_ + 1), (px_, py_))]
             for p, q in c:
                 e = (p, q) if p < q else (q, p)
-                count[e] = count.get(e, 0) + 1
-        boundary = [e for e, n in count.items() if n == 1]
-        adj = defaultdict(list)
-        for p, q in boundary:
-            adj[p].append(q)
-            adj[q].append(p)
+                n, d = count.get(e, (0, None))
+                count[e] = (n + 1, (p, q))
+        out_adj = defaultdict(list)
+        boundary = []
+        for (n, pq) in count.values():
+            if n == 1:
+                boundary.append(pq)
+                out_adj[pq[0]].append(pq[1])
         used, rings = set(), []
-        for p0, q0 in boundary:
+        for p0, q0 in sorted(boundary):
             if (p0, q0) in used:
                 continue
             ring = [p0]
@@ -160,12 +183,17 @@ def raster_to_polygons(raster: DataFrame, *, cell_size: float,
             used.add((p0, q0))
             while cur != p0:
                 ring.append(cur)
-                nxts = [x for x in adj[cur] if x != prev and
-                        ((cur, x) if cur < x else (x, cur)) not in used]
+                nxts = [x for x in out_adj[cur] if (cur, x) not in used]
                 if not nxts:
                     break
-                nxt = nxts[0]
-                used.add((cur, nxt) if cur < nxt else (nxt, cur))
+                if len(nxts) == 1:
+                    nxt = nxts[0]
+                else:
+                    dx, dy = cur[0] - prev[0], cur[1] - prev[1]
+                    nxt = max(nxts, key=lambda x: math.atan2(
+                        dx * (x[1] - cur[1]) - dy * (x[0] - cur[0]),
+                        dx * (x[0] - cur[0]) + dy * (x[1] - cur[1])))
+                used.add((cur, nxt))
                 prev, cur = cur, nxt
             if len(ring) >= 4:
                 rings.append(ring)
@@ -203,7 +231,7 @@ def zonal_stats(raster: DataFrame, zone_verts: DataFrame, *,
     (zone_id, n, value_sum, value_min, value_max)."""
     from .polygons import group_nodes
     pts = raster_to_points(raster, cell_size=cell_size, origin=origin) \
-        .withColumn("node_id", F.col("px") * F.lit(1 << 22) + F.col("py"))
+        .withColumn("node_id", _pack_pixel(F.col("px"), F.col("py")))
     hits = group_nodes(zone_verts, pts.select("node_id", "x", "y"))
     vals = pts.select("node_id", F.col(value_col).alias("_v"))
     return (hits.join(vals, "node_id")

@@ -14,10 +14,13 @@ A deterministic hash-based jitter (~1e-6 m) breaks the cocircular sample
 configurations that make circumcenters degenerate — the reference's own
 retry ladder does exactly this (spatial.py:2282-2366).
 
-Scope: the Voronoi runs on gathered samples (building sets are tiny next to
-the document table — same rationale as the broadcast street graph); the
-per-enclosure distributed variant (groupBy(enclosure).applyInPandas) is the
-flagged follow-up together with non-convex enclosure clipping.
+Scale posture (round 3+): BOTH paths are distributed.  The no-barriers
+path runs tiled with halo certification past ``driver_switch`` buildings
+(:func:`morphological_tessellation_distributed`, exact-equal to the driver
+path); the enclosed path Voronoi-partitions per enclosure via
+``groupBy(enclosure).applyInPandas`` with non-convex half-plane clipping.
+Driver gathers remain only for street-scale barrier polygonization and the
+sub-``driver_switch`` convenience path.
 """
 
 from __future__ import annotations

@@ -101,3 +101,53 @@ def test_group_nodes_boundary_inclusive(spark, verts):
     import pytest as _pt
     with _pt.raises(ValueError, match="unsupported sjoin predicate"):
         group_nodes(verts, pts, predicate="crosses")
+
+
+# ---------------------------------------------------------------------------
+# hole-aware PIP (round-4: holes are first-class — reference sjoin uses the
+# FULL polygon geometry, proximity.py:2579-2595)
+# ---------------------------------------------------------------------------
+
+HOLED_WKTS = [
+    # H: 10×10 square with a 4×4 courtyard hole ([3,7]²)
+    (0, "POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0), "
+        "(3.0 3.0, 7.0 3.0, 7.0 7.0, 3.0 7.0, 3.0 3.0))"),
+    # B: building inside H's courtyard
+    (1, "POLYGON ((4.0 4.0, 6.0 4.0, 6.0 6.0, 4.0 6.0, 4.0 4.0))"),
+]
+
+
+@pytest.fixture(scope="module")
+def holed_verts(spark):
+    df = spark.createDataFrame(HOLED_WKTS, "poly_id long, wkt string")
+    return polygons_from_wkt(df).cache()
+
+
+def test_group_nodes_courtyard_hole(spark, holed_verts):
+    pts = spark.createDataFrame(
+        [(0, 1.0, 1.0),    # solid part of H
+         (1, 5.0, 5.0),    # center of B == inside H's hole -> B only
+         (2, 3.0, 3.0),    # hole corner = on H's boundary -> H (covered)
+         (3, 3.5, 5.0),    # in the hole, outside B -> neither
+         (4, 4.0, 5.0)],   # on B's boundary, strictly in H's hole -> B only
+        "node_id long, x double, y double")
+    e = group_nodes(holed_verts, pts)
+    got = {(r.poly_id, r.node_id) for r in e.collect()}
+    assert got == {(0, 0), (1, 1), (0, 2), (1, 4)}
+    # strict interior: the hole-corner point is on H's boundary -> excluded,
+    # and B's boundary point is excluded from B
+    w = group_nodes(holed_verts, pts, predicate="within")
+    got_w = {(r.poly_id, r.node_id) for r in w.collect()}
+    assert got_w == {(0, 0), (1, 1)}
+
+
+def test_centroid_hole_aware(spark):
+    # 10x10 square, off-center 2x2 hole at [6,8]^2: centroid shifts away
+    wkt = ("POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0), "
+           "(6.0 6.0, 8.0 6.0, 8.0 8.0, 6.0 8.0, 6.0 6.0))")
+    df = spark.createDataFrame([(0, wkt)], "poly_id long, wkt string")
+    v = polygons_from_wkt(df)
+    r = polygon_centroids(v).head()
+    # (100*5 - 4*7) / 96
+    assert abs(r.cx - 472.0 / 96.0) < 1e-12
+    assert abs(r.cy - 472.0 / 96.0) < 1e-12

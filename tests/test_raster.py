@@ -123,3 +123,28 @@ def test_focal_stats_window_sums(spark):
     noc = {(r.px, r.py): r.n_nbrs for r in
            focal_stats(raster, radius=1, include_center=False).collect()}
     assert noc[(1, 1)] == 8 and noc[(0, 0)] == 3
+
+
+def test_raster_to_polygons_pinch_vertex(spark):
+    """Round-4 ADVICE: 8-connected pixels touching only diagonally form one
+    region pinched at a degree-4 vertex; directed interior-left tracing with
+    the sharpest-left-turn rule must close BOTH unit rings (the old
+    arbitrary nxts[0] pick could break and silently drop rings)."""
+    rows = [(0, 0, 7), (1, 1, 7)]
+    raster = spark.createDataFrame(rows, "px long, py long, value long")
+    lab = raster_regions(raster, connectivity=8).collect()
+    assert len({r.region for r in lab}) == 1
+    polys = raster_to_polygons(raster, cell_size=1.0,
+                               connectivity=8).toPandas()
+    rings = []
+    for (_, ring), grp in polys.groupby(["region", "ring"]):
+        g = grp.sort_values("seq")
+        xs, ys = g["x"].to_numpy(), g["y"].to_numpy()
+        a, _, _ = shoelace_area_centroid(xs, ys)
+        # each ring closed: consecutive vertices are unit axis steps and
+        # the last vertex is one step from the first
+        dx = np.abs(np.diff(np.append(xs, xs[0])))
+        dy = np.abs(np.diff(np.append(ys, ys[0])))
+        assert ((dx + dy) == 1.0).all()
+        rings.append(abs(a))
+    assert sorted(rings) == [1.0, 1.0]
