@@ -579,6 +579,22 @@ def fallback_tessellation(building_verts: DataFrame) -> DataFrame:
         .withColumn("enclosure_index", F.lit("fallback"))
 
 
+def _barrier_geometry(mv: DataFrame, barrier_verts: DataFrame | None
+                      ) -> DataFrame:
+    """The reference's ``_prepare_barriers`` (morphology.py:2513-2563):
+    when an alternative barrier-geometry table is given (the
+    ``primary_barrier_col`` analogue — e.g. S3 passable sub-linestrings
+    from :mod:`operators.segments`), each movement present in it uses that
+    geometry, and movements ABSENT from it have no barrier geometry and are
+    dropped entirely — such segments stay in the movement network but never
+    act as tessellation barriers or faced_to query geometries (roads in
+    tunnels / on bridges)."""
+    if barrier_verts is None:
+        return mv
+    return barrier_verts.join(mv.select("movement_id").dropDuplicates(),
+                              "movement_id", "left_semi")
+
+
 def morphological_graph(building_verts: DataFrame, mv: DataFrame,
                         center_xy: tuple[float, float], distance: float, *,
                         extent_buffer: float = 100.0,
@@ -586,7 +602,10 @@ def morphological_graph(building_verts: DataFrame, mv: DataFrame,
                         contiguity: str = "queen",
                         tolerance: float = 1e-6,
                         keep_buildings: bool = False,
-                        tessellation: str = "enclosed") -> dict[str, DataFrame]:
+                        tessellation: str = "enclosed",
+                        barrier_verts: DataFrame | None = None,
+                        barrier_only: DataFrame | None = None
+                        ) -> dict[str, DataFrame]:
     """Morphological-graph DAG (morphology.py:156-348).
 
     Default ``tessellation="enclosed"`` matches the reference's default
@@ -604,23 +623,59 @@ def morphological_graph(building_verts: DataFrame, mv: DataFrame,
     ``keep_buildings``) → three layers: touched_to (M6), faced_to (M7 with
     extent_buffer as the fallback cap), connected_to (M8) → isolated-place
     pruning (M13).  Reference sequencing: morphology.py:1990-2045.
+
+    Barrier wiring (round 4, reference morphology.py:653-657, 2513-2563):
+
+    - ``barrier_verts`` — alternative barrier polylines per movement_id
+      (``primary_barrier_col`` analogue, e.g. S3 passable sub-linestrings):
+      substituted for tessellation barriers AND the faced_to query
+      geometry; movements absent from it never barrier or face.
+    - ``barrier_only`` — DataFrame with a ``movement_id`` column marking
+      barrier-ONLY rows (``non_movement_barrier_col`` analogue — rivers,
+      rail): excluded from the movement network (no reachability nodes,
+      no faced_to, no connected_to) but appended to the tessellation
+      barriers, clipped to the reachability radius like the reference's
+      ``_append_barrier_context_segments``.
     """
+    import math
     from ..crs import ensure_same_crs
     ensure_same_crs(building_verts, mv)
-    costs, _, _ = reachability_field(mv, center_xy)
+    if barrier_only is not None:
+        bids = barrier_only.select("movement_id").dropDuplicates()
+        mv_move = mv.join(bids, "movement_id", "left_anti")
+    else:
+        bids, mv_move = None, mv
+    costs, _, _ = reachability_field(mv_move, center_xy)
     # localCheckpoint (not persist): downstream layers self-join mv_near
     # repeatedly — truncating the lineage keeps Catalyst from re-optimizing
     # the full reachability plan inside every self-join (measured 89s → 4s
     # on the connected_to layer at gate scale)
-    mv_near = segments_within_network_distance(mv, costs, distance) \
+    mv_near = segments_within_network_distance(mv_move, costs, distance) \
         .localCheckpoint()
-    cells = _build_tessellation(building_verts, mv_near, tessellation)
+    tess_mv = mv_near
+    if bids is not None:
+        radius = distance if math.isinf(clipping_buffer) \
+            else distance + clipping_buffer
+        bar_rows = mv.join(bids, "movement_id", "left_semi")
+        cx, cy = float(center_xy[0]), float(center_xy[1])
+        near_b = (bar_rows.groupBy("movement_id")
+                  .agg(F.min(F.sqrt((F.col("x") - cx) * (F.col("x") - cx)
+                                    + (F.col("y") - cy) * (F.col("y") - cy)))
+                       .alias("_d"))
+                  .where(F.col("_d") <= F.lit(float(radius)))
+                  .select("movement_id"))
+        tess_mv = mv_near.unionByName(
+            bar_rows.join(near_b, "movement_id", "left_semi"))
+    cells = _build_tessellation(building_verts,
+                                _barrier_geometry(tess_mv, barrier_verts),
+                                tessellation)
     return _layers_for_distance(
-        cells, building_verts, mv, mv_near, costs, distance,
+        cells, building_verts, mv_move, mv_near, costs, distance,
         extent_buffer=extent_buffer, clipping_buffer=clipping_buffer,
         contiguity=contiguity, tolerance=tolerance,
         keep_buildings=keep_buildings,
-        enclosed=(tessellation == "enclosed"))
+        enclosed=(tessellation == "enclosed"),
+        faced_mv=_barrier_geometry(mv_near, barrier_verts))
 
 
 def morphological_graphs(building_verts: DataFrame, mv: DataFrame,
@@ -631,7 +686,9 @@ def morphological_graphs(building_verts: DataFrame, mv: DataFrame,
                          contiguity: str = "queen",
                          tolerance: float = 1e-6,
                          keep_buildings: bool = False,
-                         tessellation: str = "enclosed"
+                         tessellation: str = "enclosed",
+                         barrier_verts: DataFrame | None = None,
+                         barrier_only: DataFrame | None = None
                          ) -> dict[float, dict[str, DataFrame]]:
     """M2 multi-distance shared pass (reference morphology.py:351-488): the
     expensive shared work — the reachability cost field and the (enclosed)
@@ -640,15 +697,37 @@ def morphological_graphs(building_verts: DataFrame, mv: DataFrame,
     only the cheap per-distance filters and layers.  As in the reference,
     results for smaller distances can differ slightly near the clipping
     boundary versus a standalone call."""
+    import math
     dv = [float(d) for d in distances]
     if not dv:
         raise ValueError("distances must contain at least one value")
     from ..crs import ensure_same_crs
     ensure_same_crs(building_verts, mv)
-    costs, _, _ = reachability_field(mv, center_xy)
-    mv_near_max = segments_within_network_distance(mv, costs, max(dv)) \
+    if barrier_only is not None:
+        bids = barrier_only.select("movement_id").dropDuplicates()
+        mv_move = mv.join(bids, "movement_id", "left_anti")
+    else:
+        bids, mv_move = None, mv
+    costs, _, _ = reachability_field(mv_move, center_xy)
+    mv_near_max = segments_within_network_distance(mv_move, costs, max(dv)) \
         .localCheckpoint()
-    cells = _build_tessellation(building_verts, mv_near_max, tessellation)
+    tess_mv = mv_near_max
+    if bids is not None:
+        radius = max(dv) if math.isinf(clipping_buffer) \
+            else max(dv) + clipping_buffer
+        bar_rows = mv.join(bids, "movement_id", "left_semi")
+        cx, cy = float(center_xy[0]), float(center_xy[1])
+        near_b = (bar_rows.groupBy("movement_id")
+                  .agg(F.min(F.sqrt((F.col("x") - cx) * (F.col("x") - cx)
+                                    + (F.col("y") - cy) * (F.col("y") - cy)))
+                       .alias("_d"))
+                  .where(F.col("_d") <= F.lit(float(radius)))
+                  .select("movement_id"))
+        tess_mv = mv_near_max.unionByName(
+            bar_rows.join(near_b, "movement_id", "left_semi"))
+    cells = _build_tessellation(building_verts,
+                                _barrier_geometry(tess_mv, barrier_verts),
+                                tessellation)
     if tessellation == "enclosed":
         cells = cells.localCheckpoint()
     out = {}
@@ -656,14 +735,15 @@ def morphological_graphs(building_verts: DataFrame, mv: DataFrame,
         # always filter from the FULL movement table: node ids in ``costs``
         # come from the full street graph
         mv_near = (mv_near_max if d == max(dv)
-                   else segments_within_network_distance(mv, costs, d)
+                   else segments_within_network_distance(mv_move, costs, d)
                    .localCheckpoint())
         out[d] = _layers_for_distance(
-            cells, building_verts, mv, mv_near, costs, d,
+            cells, building_verts, mv_move, mv_near, costs, d,
             extent_buffer=extent_buffer, clipping_buffer=clipping_buffer,
             contiguity=contiguity, tolerance=tolerance,
             keep_buildings=keep_buildings,
-            enclosed=(tessellation == "enclosed"))
+            enclosed=(tessellation == "enclosed"),
+            faced_mv=_barrier_geometry(mv_near, barrier_verts))
     return out
 
 
@@ -691,7 +771,9 @@ def _layers_for_distance(cells: DataFrame, building_verts: DataFrame,
                          distance: float, *, extent_buffer: float,
                          clipping_buffer: float, contiguity: str,
                          tolerance: float, keep_buildings: bool,
-                         enclosed: bool) -> dict[str, DataFrame]:
+                         enclosed: bool,
+                         faced_mv: DataFrame | None = None
+                         ) -> dict[str, DataFrame]:
     if enclosed:
         cells = filter_adjacent_tessellation(
             cells, mv_near, max_distance=distance + clipping_buffer)
@@ -714,7 +796,8 @@ def _layers_for_distance(cells: DataFrame, building_verts: DataFrame,
     groups = (pv.select("poly_id", F.col("enclosure_index").alias("group"))
               .dropDuplicates() if enclosed else None)
     touched = place_to_place_graph(pv, groups, contiguity=contiguity)
-    faced = place_to_movement_graph(pv, mv_near, tolerance=tolerance,
+    faced = place_to_movement_graph(pv, faced_mv if faced_mv is not None
+                                    else mv_near, tolerance=tolerance,
                                     max_connection_distance=extent_buffer)
     connected = movement_to_movement_graph(mv_near)
 

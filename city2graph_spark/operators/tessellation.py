@@ -57,10 +57,14 @@ def _jitter(pts: np.ndarray, owners: np.ndarray, eps: float = 1e-6
     return pts + np.column_stack([(h1 % 1.0) - 0.5, (h2 % 1.0) - 0.5]) * eps
 
 
-def _building_samples(pdf, segment: float, shrink: float):
+def _building_samples(pdf, segment: float, shrink: float,
+                      jitter_eps: float = 1e-6):
     """Jittered boundary samples per building: ring 0 inward-offset by
     ``shrink`` (momepy buffer(-0.4), spatial.py:2085-2197), hole rings
-    sampled raw (offsetting a hole outward-into-the-wall buys nothing)."""
+    sampled raw (offsetting a hole outward-into-the-wall buys nothing).
+    ``jitter_eps`` is the retry ladder's knob (spatial.py:2282-2366): the
+    repair rung re-runs with a 100× stronger jitter to break exact
+    coincidences the default epsilon failed to separate."""
     from ..geo.voronoi import shrink_ring
     samples, owners = [], []
     for (pid, ring_i), grp in pdf.sort_values(
@@ -76,7 +80,7 @@ def _building_samples(pdf, segment: float, shrink: float):
         owners.append(np.full(len(s), pid, dtype=np.int64))
     S = np.vstack(samples)
     O = np.concatenate(owners)
-    return _jitter(S, O), O
+    return _jitter(S, O, eps=jitter_eps), O
 
 
 def morphological_tessellation(building_verts: DataFrame, *,
@@ -343,6 +347,155 @@ def morphological_tessellation_distributed(building_verts: DataFrame, *,
 # Enclosed (barrier) tessellation — the reference's default M5 path
 # --------------------------------------------------------------------------
 
+def _rep_point(ring: np.ndarray) -> tuple[float, float]:
+    """A point strictly inside a simple ring: scanline at the mid-y of the
+    vertex with the median y — midpoint of the first crossing interval
+    (robust for non-convex faces where the centroid can fall outside)."""
+    ys = np.unique(ring[:, 1])
+    if len(ys) == 1:
+        return float(ring[:, 0].mean()), float(ys[0])
+    ym = 0.5 * (ys[0] + ys[-1])
+    # nudge off any vertex level to avoid degenerate crossings
+    if np.any(np.isclose(ring[:, 1], ym)):
+        gaps = np.diff(ys)
+        gi = int(np.argmax(gaps))
+        ym = 0.5 * (ys[gi] + ys[gi + 1])
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    cross = (y1 > ym) != (y2 > ym)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x1 + (ym - y1) * (x2 - x1) / (y2 - y1)
+    xs = np.sort(xs[cross])
+    return float(0.5 * (xs[0] + xs[1])), float(ym)
+
+
+def buffered_union_shapes(building_bboxes: np.ndarray,
+                          barrier_segs: np.ndarray,
+                          buffer: float) -> list[np.ndarray]:
+    """Buffered geometries whose union is the enclosure limit (reference
+    `_compute_enclosure_limit`, utils/spatial.py:2922-2962: buildings ∪
+    barriers each buffered 100 m, then unioned — the limit follows the
+    built fabric instead of a hull, so street-front Voronoi cells don't
+    stretch into empty land as needles).
+
+    Documented approximation vs GEOS round buffers: each building's bbox
+    expanded by ``buffer`` (rectangle ⊇ the round buffer except the four
+    corner arcs) and each barrier segment's square-cap mitered rectangle
+    (⊇ the round capsule except the cap arcs) — convex shapes only, so the
+    union arrangement stays exact and the deviation is bounded by
+    (√2−1)·buffer at corners, always OVER-covering (never excludes a
+    building the reference would keep)."""
+    shapes: list[np.ndarray] = []
+    b = float(buffer)
+    for x0, y0, x1, y1 in np.asarray(building_bboxes,
+                                     dtype=np.float64).reshape(-1, 4):
+        shapes.append(np.array([[x0 - b, y0 - b], [x1 + b, y0 - b],
+                                [x1 + b, y1 + b], [x0 - b, y1 + b]]))
+    for ax, ay, bx, by in np.asarray(barrier_segs,
+                                     dtype=np.float64).reshape(-1, 4):
+        ex, ey = bx - ax, by - ay
+        ln = float(np.hypot(ex, ey))
+        if ln == 0.0:
+            shapes.append(np.array([[ax - b, ay - b], [ax + b, ay - b],
+                                    [ax + b, ay + b], [ax - b, ay + b]]))
+            continue
+        ux, uy = ex / ln, ey / ln
+        nx, ny = -uy, ux
+        a0x, a0y = ax - ux * b, ay - uy * b     # square caps
+        b0x, b0y = bx + ux * b, by + uy * b
+        shapes.append(np.array([
+            [a0x + nx * b, a0y + ny * b], [b0x + nx * b, b0y + ny * b],
+            [b0x - nx * b, b0y - ny * b], [a0x - nx * b, a0y - ny * b]]))
+    return shapes
+
+
+def build_enclosures_limited(barrier_segs: np.ndarray,
+                             limit_shapes: list[np.ndarray]
+                             ) -> list[tuple[int, np.ndarray]]:
+    """momepy.enclosures against a buffered-UNION limit: polygonize the
+    arrangement of the barriers plus every buffered shape's boundary, keep
+    faces inside the union, and dissolve kept faces across shared
+    NON-barrier edges (buffer boundaries interior to the union must not
+    split an enclosure).  Union holes (block interiors farther than
+    ``buffer`` from anything) classify as outside and vanish — the
+    reference's "callers must clip" note handled structurally.
+
+    Returns [(eid, exterior ring)] in the same deterministic
+    (minx, miny, area) order as :func:`build_enclosures`."""
+    from ..geo.arrangement import node_segments, polygonize
+    from ..geo.kernels import point_segment_distance, points_covered_by_ring
+    from ..geo.voronoi import dissolve_cells
+    segs = np.asarray(barrier_segs, dtype=np.float64).reshape(-1, 4)
+    bsegs = []
+    for ring in limit_shapes:
+        nxt = np.roll(np.arange(len(ring)), -1)
+        for i in range(len(ring)):
+            bsegs.append([ring[i, 0], ring[i, 1],
+                          ring[nxt[i], 0], ring[nxt[i], 1]])
+    allsegs = np.vstack([segs, np.array(bsegs)]) if len(segs) \
+        else np.array(bsegs)
+    faces = polygonize(node_segments(allsegs))
+
+    kept = []
+    for ring in faces:
+        px, py = _rep_point(ring)
+        for sh in limit_shapes:
+            if points_covered_by_ring(np.array([px]), np.array([py]),
+                                      sh[:, 0], sh[:, 1])[0]:
+                kept.append(ring)
+                break
+    if not kept:
+        return []
+
+    # union-find over kept faces: merge across shared non-barrier edges
+    parent = list(range(len(kept)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    edge_owner: dict = {}
+    scale = max(float(np.abs(allsegs).max()), 1.0)
+    tol = 1e-9 * scale
+    for fi, ring in enumerate(kept):
+        nxt = np.roll(np.arange(len(ring)), -1)
+        for i in range(len(ring)):
+            a = (ring[i, 0], ring[i, 1])
+            b = (ring[nxt[i], 0], ring[nxt[i], 1])
+            key = (a, b) if a < b else (b, a)
+            if key in edge_owner:
+                fj = edge_owner[key]
+                mx, my = 0.5 * (a[0] + b[0]), 0.5 * (a[1] + b[1])
+                on_barrier = False
+                if len(segs):
+                    d, _ = point_segment_distance(
+                        np.full(len(segs), mx), np.full(len(segs), my),
+                        segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3])
+                    on_barrier = bool((d <= tol).any())
+                if not on_barrier:
+                    parent[find(fi)] = find(fj)
+            else:
+                edge_owner[key] = fi
+    groups = np.array([find(i) for i in range(len(kept))])
+    rings_by_group = dissolve_cells(kept, groups)
+
+    keyed = []
+    for gid, rlist in rings_by_group.items():
+        if not rlist:
+            continue
+        ext = rlist[0]
+        x, y = ext[:, 0], ext[:, 1]
+        area = 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+        keyed.append((float(x.min()), float(y.min()), area, rlist))
+    keyed.sort(key=lambda t: (t[0], t[1], t[2]))
+    # full ring lists: a ring-shaped enclosure (street loop inside a
+    # buffered-union component) keeps its HOLE, so it doesn't double-cover
+    # the nested enclosure it surrounds
+    return [(i, k[3]) for i, k in enumerate(keyed)]
+
+
 def build_enclosures(barrier_segs, limit_rect: tuple[float, float, float, float]
                      ) -> list[tuple[int, np.ndarray]]:
     """momepy.enclosures equivalent (reference utils/spatial.py:2776-2782):
@@ -372,11 +525,31 @@ def build_enclosures(barrier_segs, limit_rect: tuple[float, float, float, float]
     return [(i, k[3]) for i, k in enumerate(keyed)]
 
 
+def _rings_area(rlist) -> float:
+    """Net area of a cell's ring list (exterior − holes, abs shoelace)."""
+    tot = 0.0
+    for ri, ring in enumerate(rlist):
+        x, y = ring[:, 0], ring[:, 1]
+        a = abs(0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)))
+        tot += a if ri == 0 else -a
+    return tot
+
+
+# retry ladder rungs (reference _run_tessellation_with_retries +
+# _repair_or_drop_degenerate_enclosures, spatial.py:2524-2581, 2596-2668):
+# default → coarser grid snap (the reference's grid_size=1e-3 rung) →
+# 100× stronger jitter (the reference's _jitter rung).
+_RETRY_LADDER = ({}, {"grid_size": 1e-3}, {"jitter_eps": 1e-4})
+_OVERFILL_TOLERANCE = 1.05   # reference _overfilled_enclosures tolerance
+
+
 def _tessellate_one_enclosure(ering: np.ndarray, pdf, segment: float,
-                              shrink: float = 0.4):
+                              shrink: float = 0.4, holes=()):
     """Voronoi-partition one enclosure among its buildings (vectorized numpy;
     runs inside applyInPandas).  Returns [(place_id, [ring, …])] — exterior
-    ring first, then holes.
+    ring first, then holes — or ``None`` when every retry rung leaves a
+    degenerate partition (the caller degrades the enclosure's buildings to
+    footprint fallback cells, reference spatial.py:2657-2668).
 
     momepy.enclosed_tessellation semantics (reference spatial.py:2661-2723):
     one building → the whole enclosure is its cell; ≥2 → Voronoi of jittered
@@ -385,22 +558,56 @@ def _tessellate_one_enclosure(ering: np.ndarray, pdf, segment: float,
     incremental bisector half-plane clipping (exact shared-edge
     cancellation — geo.voronoi.halfplane_cells), dissolved per building with
     holes preserved (a courtyard building hosting another building's cell
-    keeps the hole)."""
+    keeps the hole).
+
+    Degeneracy detection + retry ladder (reference spatial.py:2243-2279,
+    2524-2581): exactly coincident cross-owner sites leave the bisector
+    undefined, so both owners keep (nearly) the whole enclosure — the same
+    silent failure shapely.voronoi_polygons exhibits.  After each attempt
+    the summed cell area is validated against the enclosure area
+    (> 1.05× ⇒ broken); a broken partition retries with a coarser
+    coordinate snap (``grid_size=1e-3``, same-owner duplicates dropped),
+    then with a 100× stronger deterministic jitter, then degrades.
+
+    ``holes``: inner boundary rings of a ring-shaped enclosure (union-limit
+    mode).  Empty/single-building cells carry them through exactly;
+    multi-building Voronoi cells are clipped to the EXTERIOR only
+    (documented deviation — holed enclosures with ≥2 buildings are
+    barrier-separated islands, where cell overflow into the hole is bounded
+    by the surrounding barrier ring in practice)."""
     from ..geo.voronoi import dissolve_cells, halfplane_cells
+    holes = list(holes or ())
     pids = sorted(pdf["poly_id"].unique())
     if len(pids) == 1:
-        return [(int(pids[0]), [ering])]
-    S, O = _building_samples(pdf, segment, shrink)
-    clipped = halfplane_cells(S, ering)
-    rings = dissolve_cells(clipped, O)
-    return [(int(pid), [r for r in rlist if len(r) >= 3])
-            for pid, rlist in sorted(rings.items())]
+        return [(int(pids[0]), [ering, *holes])]
+    earea = _rings_area([ering])
+    for rung in _RETRY_LADDER:
+        S, O = _building_samples(pdf, segment, shrink,
+                                 jitter_eps=rung.get("jitter_eps", 1e-6))
+        if "grid_size" in rung:
+            gs = rung["grid_size"]
+            S = np.round(S / gs) * gs
+            # drop SAME-owner duplicates created by the snap (cross-owner
+            # coincidences must survive so the validation can see them)
+            _, ui = np.unique(np.column_stack([S, O.astype(np.float64)]),
+                              axis=0, return_index=True)
+            ui.sort()
+            S, O = S[ui], O[ui]
+        clipped = halfplane_cells(S, ering)
+        rings = dissolve_cells(clipped, O)
+        out = [(int(pid), [r for r in rlist if len(r) >= 3])
+               for pid, rlist in sorted(rings.items())]
+        total = sum(_rings_area(rl) for _, rl in out)
+        if earea <= 0.0 or total <= earea * _OVERFILL_TOLERANCE:
+            return out
+    return None
 
 
 def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
                           segment: float = 0.5, shrink: float = 0.4,
                           buffer: float = 100.0,
                           limit: tuple[float, float, float, float] | None = None,
+                          limit_mode: str = "rect",
                           keep_empty: bool = True) -> DataFrame:
     """M5 enclosed tessellation (reference utils/spatial.py:2725-2830 +
     momepy.enclosed_tessellation): polygonize the barrier (street)
@@ -416,8 +623,11 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
 
     ``barriers_mv``: movement polyline vertex table (movement_id, seq, x, y).
     ``limit``: (xmin, ymin, xmax, ymax) enclosure boundary; default = data
-    bbox buffered by ``buffer`` (the reference derives a buffered union,
-    spatial.py:2768-2775 — rectangle is the documented approximation).
+    bbox buffered by ``buffer``.  ``limit_mode="union"`` instead derives the
+    reference's buffered-UNION limit (spatial.py:2922-2962 — per-building /
+    per-barrier 100 m buffers unioned, so the limit follows the built
+    fabric; see :func:`buffered_union_shapes` for the mitered-rectangle
+    approximation); explicit ``limit`` wins over either mode.
 
     Returns a polygon vertex table (enclosure_index, place_id, ring, seq,
     x, y); ``place_id`` is the owning building's poly_id, or -1 for an
@@ -429,16 +639,30 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
     parts = polyline_parts(barriers_mv).select("ax", "ay", "bx", "by").collect()
     segs = np.array([[r["ax"], r["ay"], r["bx"], r["by"]] for r in parts]) \
         if parts else np.empty((0, 4))
-    if limit is None:
-        bb = building_verts.agg(F.min("x"), F.min("y"),
-                                F.max("x"), F.max("y")).head()
-        xs = [bb[0], bb[2]] + ([segs[:, [0, 2]].min(), segs[:, [0, 2]].max()]
-                               if len(segs) else [])
-        ys = [bb[1], bb[3]] + ([segs[:, [1, 3]].min(), segs[:, [1, 3]].max()]
-                               if len(segs) else [])
-        limit = (float(min(xs)) - buffer, float(min(ys)) - buffer,
-                 float(max(xs)) + buffer, float(max(ys)) + buffer)
-    encl = build_enclosures(segs, limit)
+    if limit is None and limit_mode == "union":
+        # one bbox row per building (bounded collect, same size class as
+        # the street-segment gather above)
+        bbs = (building_verts.where(F.col("ring") == 0).groupBy("poly_id")
+               .agg(F.min("x").alias("x0"), F.min("y").alias("y0"),
+                    F.max("x").alias("x1"), F.max("y").alias("y1"))
+               .collect())
+        bboxes = np.array([[r["x0"], r["y0"], r["x1"], r["y1"]]
+                           for r in bbs]) if bbs else np.empty((0, 4))
+        shapes = buffered_union_shapes(bboxes, segs, buffer)
+        encl = build_enclosures_limited(segs, shapes)
+    else:
+        if limit is None:
+            bb = building_verts.agg(F.min("x"), F.min("y"),
+                                    F.max("x"), F.max("y")).head()
+            xs = [bb[0], bb[2]] + ([segs[:, [0, 2]].min(),
+                                    segs[:, [0, 2]].max()]
+                                   if len(segs) else [])
+            ys = [bb[1], bb[3]] + ([segs[:, [1, 3]].min(),
+                                    segs[:, [1, 3]].max()]
+                                   if len(segs) else [])
+            limit = (float(min(xs)) - buffer, float(min(ys)) - buffer,
+                     float(max(xs)) + buffer, float(max(ys)) + buffer)
+        encl = build_enclosures(segs, limit)
 
     # assign each building to the smallest containing face (smallest-area
     # rule resolves nested faces — barrier islands come out as nested
@@ -449,14 +673,15 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
     from pyspark.sql import Window
 
     from .polygons import group_nodes
+    # normalize both modes to (eid, [exterior, hole, ...]) ring lists
+    encl = [(eid, r if isinstance(r, list) else [r]) for eid, r in encl]
     face_rows, area_rows = [], []
-    for eid, ring in encl:
-        x, y = ring[:, 0], ring[:, 1]
-        area = 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
-        area_rows.append((eid, area))
-        for i in range(len(ring)):
-            face_rows.append((eid, 0, i, float(ring[i, 0]),
-                              float(ring[i, 1])))
+    for eid, rlist in encl:
+        area_rows.append((eid, _rings_area(rlist)))
+        for ri, ring in enumerate(rlist):
+            for i in range(len(ring)):
+                face_rows.append((eid, ri, i, float(ring[i, 0]),
+                                  float(ring[i, 1])))
     faces_df = spark.createDataFrame(
         face_rows, "poly_id long, ring long, seq long, x double, y double")
     areas_df = spark.createDataFrame(area_rows, "eid long, _area double")
@@ -473,14 +698,24 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
     verts = building_verts \
         .select("poly_id", "ring", "seq", "x", "y").join(eids, "poly_id")
 
-    ring_map_b = spark.sparkContext.broadcast({eid: ring for eid, ring in encl})
+    ring_map_b = spark.sparkContext.broadcast({eid: rl for eid, rl in encl})
     seg_len, shr = float(segment), float(shrink)
 
     def tess(key, pdf):
         import pandas as pd
         eid = int(key[0])
-        ering = ring_map_b.value[eid]
-        cells = _tessellate_one_enclosure(ering, pdf, seg_len, shr)
+        rl = ring_map_b.value[eid]
+        cells = _tessellate_one_enclosure(rl[0], pdf, seg_len, shr,
+                                          holes=rl[1:])
+        if cells is None:
+            # retry ladder exhausted: the enclosure's partition stays
+            # degenerate, so its buildings degrade to footprint fallback
+            # cells (reference spatial.py:2657-2668 drops the enclosure's
+            # cells; M14 then gives each building its own footprint)
+            fb = pdf.sort_values(["poly_id", "ring", "seq"]).copy()
+            fb.insert(0, "enclosure_index", eid)
+            return fb.rename(columns={"poly_id": "place_id"})[
+                ["enclosure_index", "place_id", "ring", "seq", "x", "y"]]
         rows = []
         for pid, rlist in cells:
             for ri, ring in enumerate(rlist):
@@ -495,11 +730,12 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
     if keep_empty:
         used = {r["eid"] for r in eids.select("eid").dropDuplicates().collect()}
         empty_rows = []
-        for eid, ring in encl:
+        for eid, rlist in encl:
             if eid in used:
                 continue
-            for i, (x, y) in enumerate(ring):
-                empty_rows.append((eid, -1, 0, i, float(x), float(y)))
+            for ri, ring in enumerate(rlist):
+                for i, (x, y) in enumerate(ring):
+                    empty_rows.append((eid, -1, ri, i, float(x), float(y)))
         if empty_rows:
             out = out.unionByName(spark.createDataFrame(empty_rows, schema))
     return out
@@ -510,15 +746,17 @@ def create_tessellation(building_verts: DataFrame,
                         segment: float = 0.5,
                         shrink: float = 0.4,
                         buffer: float = 100.0,
-                        limit: tuple[float, float, float, float] | None = None
-                        ) -> DataFrame:
+                        limit: tuple[float, float, float, float] | None = None,
+                        limit_mode: str = "rect") -> DataFrame:
     """M5 entry point (spatial.py:2085-2197): barriers given → enclosed
     tessellation (the reference's default urban path); no barriers →
     morphological tessellation with bounding-box clip, tess_id = building
-    index."""
+    index.  ``limit_mode="union"`` selects the reference's buffered-union
+    enclosure limit (spatial.py:2922-2962)."""
     if primary_barriers is not None:
         return enclosed_tessellation(building_verts, primary_barriers,
                                      segment=segment, shrink=shrink,
-                                     buffer=buffer, limit=limit)
+                                     buffer=buffer, limit=limit,
+                                     limit_mode=limit_mode)
     return morphological_tessellation(building_verts, segment=segment,
                                       shrink=shrink, buffer=buffer)

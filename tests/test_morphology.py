@@ -263,3 +263,50 @@ def test_place_to_movement_expanding_ring_majority_unmatched(spark):
     # place 7 (2000m) is beyond the 1000m cap; everything else connects to
     # the only movement
     assert got == {(i, 0) for i in range(7)}
+
+
+def test_barrier_only_segment_walls_but_never_faces(spark, buildings):
+    """Round-4 barrier wiring (reference morphology.py:653-657, 2513-2563):
+    a barrier-ONLY segment (river/rail) shapes tessellation enclosures but
+    never enters the movement network — no reachability node, no faced_to
+    edge, no connected_to row."""
+    rows = [
+        # streets split at x=200 so endpoints are shared street-graph nodes
+        (0, 0, 0.0, 0.0), (0, 1, 200.0, 0.0),
+        (1, 0, 200.0, 0.0), (1, 1, 400.0, 0.0),
+        (2, 0, 0.0, 100.0), (2, 1, 200.0, 100.0),
+        (3, 0, 200.0, 100.0), (3, 1, 400.0, 100.0),
+        (4, 0, 0.0, 0.0), (4, 1, 0.0, 100.0),        # west connector
+        (9, 0, 200.0, 0.0), (9, 1, 200.0, 100.0),    # BARRIER-only (rail)
+    ]
+    mv = spark.createDataFrame(
+        rows, "movement_id long, seq long, x double, y double")
+    barrier_only = spark.createDataFrame([(9,)], "movement_id long")
+    bv = spark.createDataFrame(
+        _square(0, 100.0, 50.0) + _square(1, 300.0, 50.0),
+        "poly_id long, ring long, seq long, x double, y double")
+
+    out = morphological_graph(bv, mv, (100.0, 1.0), 1000.0,
+                              extent_buffer=500.0,
+                              barrier_only=barrier_only)
+    mv_ids = {r.movement_id for r in
+              out["movements"].select("movement_id").dropDuplicates().collect()}
+    assert 9 not in mv_ids
+    assert 9 not in {r.movement_id for r in out["faced_to"].collect()}
+    conn = {x for r in out["connected_to"].collect()
+            for x in (r.from_movement_id, r.to_movement_id)}
+    assert 9 not in conn
+    # ...but it IS an enclosure wall: buildings 0 and 1 sit in DIFFERENT
+    # enclosures (the rail splits the block between H and H2), so the
+    # enclosed path's group filter suppresses their queen adjacency
+    cells = out["places"].toPandas()
+    e0 = set(cells[cells.place_id == 0]["enclosure_index"])
+    e1 = set(cells[cells.place_id == 1]["enclosure_index"])
+    assert e0 and e1 and e0.isdisjoint(e1)
+    # without the barrier flag the same segment is a movement: one
+    # enclosure boundary AND a faced_to candidate
+    out2 = morphological_graph(bv, mv, (100.0, 1.0), 1000.0,
+                               extent_buffer=500.0)
+    mv_ids2 = {r.movement_id for r in
+               out2["movements"].select("movement_id").dropDuplicates().collect()}
+    assert 9 in mv_ids2

@@ -147,3 +147,101 @@ def test_distributed_dispatch_over_switch(spark):
     # samples [40.4,829.6]×[40.4,679.6]; +40 buffer → bbox 869.2 × 719.2
     expect = 869.2 * 719.2
     assert abs(total - expect) / expect < 1e-3
+
+
+def test_retry_ladder_repairs_coincident_sites(monkeypatch):
+    """Round-4 M5 retry ladder (reference spatial.py:2524-2581, 2243-2279):
+    exactly coincident cross-owner sites leave the bisector undefined and
+    every owner keeps the whole enclosure — the overfill validation must
+    catch it and the stronger-jitter rung must repair it; with repair
+    impossible the enclosure degrades (None -> footprint fallback)."""
+    import pandas as pd
+
+    import city2graph_spark.operators.tessellation as T
+
+    orig = T._jitter
+
+    def weak_jitter_broken(pts, owners, eps=1e-6):
+        # default rung's jitter "fails" (returns exact input); the repair
+        # rung's stronger eps still works
+        return pts if eps == 1e-6 else orig(pts, owners, eps)
+
+    monkeypatch.setattr(T, "_jitter", weak_jitter_broken)
+    ering = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    rows = []
+    sq = [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]
+    for pid in (1, 2):   # two IDENTICAL footprints, different ids
+        rows += [(pid, 0, i, x, y) for i, (x, y) in enumerate(sq)]
+    pdf = pd.DataFrame(rows, columns=["poly_id", "ring", "seq", "x", "y"])
+
+    out = T._tessellate_one_enclosure(ering, pdf, 0.5, 0.4)
+    assert out is not None            # repaired on the strong-jitter rung
+    total = sum(T._rings_area(rl) for _, rl in out)
+    assert total <= 100.0 * T._OVERFILL_TOLERANCE
+    assert total > 50.0               # a real partition, not empty cells
+    assert {pid for pid, _ in out} == {1, 2}
+
+    # jitter disabled on EVERY rung: the ladder exhausts and degrades
+    monkeypatch.setattr(T, "_jitter", lambda pts, owners, eps=1e-6: pts)
+    assert T._tessellate_one_enclosure(ering, pdf, 0.5, 0.4) is None
+
+
+def test_buffered_union_limit_vs_rectangle(spark):
+    """Round-4 M5 limit (reference spatial.py:2922-2962): the buffered-union
+    limit follows the built fabric; the rectangle limit leaves one vast
+    outer enclosure stretching to the global bbox.  Fixture: a 100m street
+    loop with two buildings inside plus one distant building 900m away."""
+    import pandas as pd
+
+    from city2graph_spark.operators.tessellation import (
+        buffered_union_shapes, enclosed_tessellation)
+
+    loop = [(0.0, 0.0), (100.0, 0.0), (100.0, 100.0), (0.0, 100.0),
+            (0.0, 0.0)]
+    mv = spark.createDataFrame(
+        [(0, i, x, y) for i, (x, y) in enumerate(loop)],
+        "movement_id long, seq long, x double, y double")
+    rows = (_square(1, 25.0, 25.0, 5.0) + _square(2, 65.0, 65.0, 5.0)
+            + _square(3, 1005.0, 1005.0, 5.0))
+    bv = spark.createDataFrame(
+        rows, "poly_id long, ring long, seq long, x double, y double")
+
+    def areas(cells):
+        pdf = cells.toPandas()
+        out = {}
+        for (eid, pid, ring), grp in pdf.groupby(
+                ["enclosure_index", "place_id", "ring"]):
+            g = grp.sort_values("seq")
+            a, _, _ = shoelace_area_centroid(g["x"].to_numpy(),
+                                             g["y"].to_numpy())
+            key = (eid, pid)
+            out[key] = out.get(key, 0.0) + (abs(a) if ring == 0 else -abs(a))
+        return out
+
+    rect = areas(enclosed_tessellation(bv, mv, buffer=50.0))
+    union = areas(enclosed_tessellation(bv, mv, buffer=50.0,
+                                        limit_mode="union"))
+
+    # rectangle mode: the outer enclosure spans the global bbox (~1.2M m²)
+    assert max(rect.values()) > 0.8e6
+    # union mode: every cell is bounded by the built fabric
+    assert max(union.values()) < 2.0e5
+    # all three buildings still own a cell in union mode
+    owners = {pid for (_, pid) in union if pid >= 0}
+    assert owners == {1, 2, 3}
+    # parity with the reference SHAPE: enclosures tile the buffered union,
+    # so their summed area must equal the union's area (pixel integration
+    # over the same shapes, 2m grid)
+    segs = np.array([[loop[i][0], loop[i][1], loop[i + 1][0], loop[i + 1][1]]
+                     for i in range(4)])
+    bboxes = np.array([[20.0, 20.0, 30.0, 30.0], [60.0, 60.0, 70.0, 70.0],
+                       [1000.0, 1000.0, 1010.0, 1010.0]])
+    shapes = buffered_union_shapes(bboxes, segs, 50.0)
+    gx, gy = np.meshgrid(np.arange(-60.0, 1070.0, 2.0),
+                         np.arange(-60.0, 1070.0, 2.0))
+    gx, gy = gx.ravel() + 1.0, gy.ravel() + 1.0
+    cov = np.zeros(len(gx), dtype=bool)
+    for sh in shapes:
+        cov |= points_covered_by_ring(gx, gy, sh[:, 0], sh[:, 1])
+    union_area = cov.sum() * 4.0
+    assert abs(sum(union.values()) - union_area) < union_area * 0.02
