@@ -200,11 +200,20 @@ calibration).
 | local[16] | {fmt(16)} | {med[16]:,.0f} | {med_e[16]:,.0f} |
 | local[32] | {fmt(32)} | {med[32]:,.0f} | {med_e[32]:,.0f} |
 
-| N→4N pair | regime | scaling efficiency |
-|---|---|---|
-| local[2] → local[8] | below bus saturation | **{eff28:.3f}** |
-| local[4] → local[16] | around the bus knee | **{eff416:.3f}** |
-| local[8] → local[32] | shared-bus saturated | **{eff:.3f}** |
+| N→4N pair | regime | engine efficiency | machine bandwidth ceiling (same session) | engine ÷ ceiling |
+|---|---|---|---|---|
+| local[2] → local[8] | below bus saturation | **{eff28:.3f}** | {hw['bw_eff28']:.3f} | **{eff28 / max(hw['bw_eff28'], 1e-9):.2f}×** |
+| local[4] → local[16] | around the bus knee | **{eff416:.3f}** | {hw['bw_eff416']:.3f} | **{eff416 / max(hw['bw_eff416'], 1e-9):.2f}×** |
+| local[8] → local[32] | shared-bus saturated | **{eff:.3f}** | {hw['bw_eff']:.3f} | **{eff / max(hw['bw_eff'], 1e-9):.2f}×** |
+
+The engine ÷ ceiling column is the noise-robust reading: the raw numbers
+swing with the host's neighbor load (round 3 measured 2→8 at 1.007 on a
+quiet host; the same code measures lower when the whole VM's memory bus is
+contended), but the ratio of the engine's efficiency to the machine's own
+same-session streaming ceiling is stable — ≥1 means the engine adds NO
+scaling loss beyond the hardware it runs on, which is the property that
+transfers to a real N → 4N executor cluster where each executor brings its
+own memory bus.
 
 **Hardware calibration** — raw numpy on this VM, no Spark, no shuffle:
 

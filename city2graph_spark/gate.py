@@ -813,6 +813,29 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, 3, n_centroids=16, n_probe=4)
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brief dedup family) through the
+    EXACT block-nested path: canonical pairs with cosine ≥ 0.4 (threshold
+    sits ≥1e-4 from every pair's similarity at gate scale, so GEMM-vs-
+    sequential summation ulps can't flip membership)."""
+    from .pipeline.simsearch import embedding_neardup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, 0.4)
+
+
+def _embedding_neardup_oracle() -> str:
+    dot = ("list_sum(list_transform(generate_series(1, 64), "
+           "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))")
+    nrm = ("sqrt(list_sum(list_transform(generate_series(1, 64), "
+           "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))")
+    return f"""
+WITH nv AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE {dot} / (a.nrm * b.nrm) >= 0.4
+"""
+
+
 def q_ivf_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with ``n_probe = n_centroids``: every bucket is probed, so the
     candidate set is complete and the result is EXACT cosine top-k by
@@ -1556,6 +1579,7 @@ _SPATIAL_QUERIES = {
     "ivf_topk": (q_ivf_topk, None),
     "ivf_topk_exhaustive": (q_ivf_topk_exhaustive,
                             lambda: sql_embedding_topk("duckdb")),
+    "embedding_neardup": (q_embedding_neardup, _embedding_neardup_oracle),
     "spans_extract": (q_spans_extract, _spans_extract_oracle),
     "segments_to_graph": (q_segments_to_graph, _segments_oracle),
     "dual_graph": (q_dual_graph, _dual_oracle),

@@ -807,6 +807,43 @@ def _layers_for_distance(cells: DataFrame, building_verts: DataFrame,
         .join(with_face.withColumnRenamed("_p", "src"), "src", "left_semi") \
         .join(with_face.withColumnRenamed("_p", "dst"), "dst", "left_semi")
 
+    # D4: every layer's edges carry WKT geometry, like the reference's
+    # centroid↔centroid edge LINESTRINGs (morphology.py:3461-3478) —
+    # pure JVM concat expressions over centroid joins
+    def _line(ax, ay, bx, by):
+        s = lambda c: F.col(c).cast("string")  # noqa: E731
+        return F.concat(F.lit("LINESTRING ("), s(ax), F.lit(" "), s(ay),
+                        F.lit(", "), s(bx), F.lit(" "), s(by), F.lit(")"))
+
+    pc = polygon_centroids(pv)
+    mcent = (polyline_parts(mv_near)
+             .withColumn("_wx", (F.col("ax") + F.col("bx")) / 2
+                         * F.col("part_len"))
+             .withColumn("_wy", (F.col("ay") + F.col("by")) / 2
+                         * F.col("part_len"))
+             .groupBy("movement_id")
+             .agg((F.sum("_wx") / F.sum("part_len")).alias("_mx"),
+                  (F.sum("_wy") / F.sum("part_len")).alias("_my")))
+    ca = pc.select(F.col("poly_id").alias("src"), F.col("cx").alias("_sx"),
+                   F.col("cy").alias("_sy"))
+    cb = pc.select(F.col("poly_id").alias("dst"), F.col("cx").alias("_dx2"),
+                   F.col("cy").alias("_dy2"))
+    touched = (touched.join(ca, "src").join(cb, "dst")
+               .withColumn("geometry", _line("_sx", "_sy", "_dx2", "_dy2"))
+               .drop("_sx", "_sy", "_dx2", "_dy2"))
+    faced = (faced.join(ca.withColumnRenamed("src", "poly_id"), "poly_id")
+             .join(mcent, "movement_id")
+             .withColumn("geometry", _line("_sx", "_sy", "_mx", "_my"))
+             .drop("_sx", "_sy", "_mx", "_my"))
+    ma = mcent.select(F.col("movement_id").alias("from_movement_id"),
+                      F.col("_mx").alias("_ax"), F.col("_my").alias("_ay"))
+    mb = mcent.select(F.col("movement_id").alias("to_movement_id"),
+                      F.col("_mx").alias("_bx"), F.col("_my").alias("_by"))
+    connected = (connected.join(ma, "from_movement_id")
+                 .join(mb, "to_movement_id")
+                 .withColumn("geometry", _line("_ax", "_ay", "_bx", "_by"))
+                 .drop("_ax", "_ay", "_bx", "_by"))
+
     return {"places": cells_kept, "movements": mv_near,
             "touched_to": touched, "faced_to": faced,
             "connected_to": connected}

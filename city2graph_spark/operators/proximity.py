@@ -172,9 +172,32 @@ def _local_topk_kernel(k: int, metric: str, block_size: float):
     return kernel
 
 
+def _apply_duplicate_edges(edges: DataFrame, duplicate_edges: bool, *,
+                           directed: bool = False, src: str = "src",
+                           dst: str = "dst") -> DataFrame:
+    """``duplicate_edges`` option contract (reference proximity.py:700-763):
+    True appends the reverse (v, u) row of every undirected edge; rejected
+    up front for directed variants, whose edge set is not symmetrizable
+    (the reference's ``target_gdf`` rejection).  The reference also rejects
+    the option with ``as_nx=True``; here nx conversion is the separate
+    ``operators.conversion`` surface, where reciprocal rows of an
+    undirected graph would collapse back into one edge — so request plain
+    (non-duplicated) edges when converting."""
+    if not duplicate_edges:
+        return edges
+    if directed:
+        raise ValueError(
+            "duplicate_edges=True is not supported for directed graph "
+            "variants: reciprocal rows only represent undirected edges "
+            "(reference proximity.py:752-763)")
+    from .topology import symmetrize_edges
+    return symmetrize_edges(edges, src=src, dst=dst)
+
+
 def knn_graph(points: DataFrame, k: int, *, cell_size: float,
               metric: str = "euclidean", directed: bool = False,
-              salt_target: int = 100_000) -> DataFrame:
+              salt_target: int = 100_000,
+              duplicate_edges: bool = False) -> DataFrame:
     """Exact k-nearest-neighbor graph over (node_id, x, y).
 
     Reference semantics (proximity.py:875-884): per node, k nearest by the
@@ -192,6 +215,8 @@ def knn_graph(points: DataFrame, k: int, *, cell_size: float,
 
     Returns (src, dst, weight).
     """
+    if duplicate_edges and directed:
+        _apply_duplicate_edges(None, True, directed=True)  # raises
     B = float(cell_size)
     pts = with_cell(points, cell_size=B)
     build = pts.select(
@@ -278,16 +303,20 @@ def knn_graph(points: DataFrame, k: int, *, cell_size: float,
         return edges
     # undirected: canonical unordered pair, dedupe (proximity.py:879-884 via
     # nx.Graph add_edges semantics — last write wins, weights are symmetric).
-    return (edges.select(F.least("src", "dst").alias("src"),
-                         F.greatest("src", "dst").alias("dst"), "weight")
-                 .dropDuplicates(["src", "dst"]))
+    und = (edges.select(F.least("src", "dst").alias("src"),
+                        F.greatest("src", "dst").alias("dst"), "weight")
+                .dropDuplicates(["src", "dst"]))
+    return _apply_duplicate_edges(und, duplicate_edges)
 
 
 def fixed_radius_graph(points: DataFrame, radius: float, *,
                        metric: str = "euclidean", cell_size: float | None = None,
-                       directed: bool = False) -> DataFrame:
+                       directed: bool = False,
+                       duplicate_edges: bool = False) -> DataFrame:
     """Gilbert graph: edge iff d(u,v) ≤ radius (proximity.py:1424-1432,
     keeps i<j).  Cell equi-join with ring ⌈radius/cell⌉ then exact filter."""
+    if duplicate_edges and directed:
+        _apply_duplicate_edges(None, True, directed=True)  # raises
     cell_size = cell_size or radius
     ring = max(1, math.ceil(radius / cell_size))
     pts = with_cell(points, cell_size=cell_size)
@@ -297,13 +326,14 @@ def fixed_radius_graph(points: DataFrame, radius: float, *,
         F.col("node_id").alias("src"), F.col("x").alias("px"),
         F.col("y").alias("py"), "qcell")
     pair_pred = (F.col("src") < F.col("dst")) if not directed else (F.col("src") != F.col("dst"))
-    return (probe.join(build, probe.qcell == build.bcell)
-            .where(pair_pred)
-            .withColumn("weight", _dist(metric, F.col("px") - F.col("bx"),
-                                        F.col("py") - F.col("by")))
-            .where(F.col("weight") <= F.lit(float(radius)))
-            .select("src", "dst", "weight")
-            .dropDuplicates(["src", "dst"]))
+    out = (probe.join(build, probe.qcell == build.bcell)
+           .where(pair_pred)
+           .withColumn("weight", _dist(metric, F.col("px") - F.col("bx"),
+                                       F.col("py") - F.col("by")))
+           .where(F.col("weight") <= F.lit(float(radius)))
+           .select("src", "dst", "weight")
+           .dropDuplicates(["src", "dst"]))
+    return out if directed else _apply_duplicate_edges(out, duplicate_edges)
 
 
 def _radius_candidates(points: DataFrame, r_cand: float) -> DataFrame:
@@ -602,7 +632,8 @@ def _delaunay_with_coords(points: DataFrame, **kw) -> DataFrame:
 
 
 def gabriel_graph(points: DataFrame, *, r_cand: float | None = None,
-                  cell_size: float | None = None) -> DataFrame:
+                  cell_size: float | None = None,
+                  duplicate_edges: bool = False) -> DataFrame:
     """Gabriel graph: keep (u,v) iff no witness w has (u−w)·(v−w) < 0
     (open diametral disc empty — the reference's einsum test,
     proximity.py:1071-1078).
@@ -616,16 +647,17 @@ def gabriel_graph(points: DataFrame, *, r_cand: float | None = None,
     the data has no empty disc of diameter > r_cand (any density-bounded
     corpus; the gate/bench path).
     """
-    if r_cand is None:
-        return _witness_filter_exact(points,
-                                     _delaunay_with_coords(points),
-                                     "gabriel", cell_size)
-    return _empty_region_graph(points, r_cand, cell_size, "gabriel")
+    out = (_witness_filter_exact(points, _delaunay_with_coords(points),
+                                 "gabriel", cell_size)
+           if r_cand is None
+           else _empty_region_graph(points, r_cand, cell_size, "gabriel"))
+    return _apply_duplicate_edges(out, duplicate_edges, src="u", dst="v")
 
 
 def relative_neighborhood_graph(points: DataFrame, *,
                                 r_cand: float | None = None,
-                                cell_size: float | None = None) -> DataFrame:
+                                cell_size: float | None = None,
+                                duplicate_edges: bool = False) -> DataFrame:
     """Relative-neighborhood graph.  Replicates the reference's exact
     predicate chain (proximity.py:1171-1181): a candidate dies if any
     witness has (u−w)·(v−w) < 0 (disc test) **or** lies in the lune —
@@ -635,15 +667,16 @@ def relative_neighborhood_graph(points: DataFrame, *,
     ``r_cand=None`` (default) = exact unbounded via Delaunay candidates
     (RNG ⊆ Gabriel ⊆ Delaunay) + JVM witness join; explicit ``r_cand`` =
     radius-bounded fast kernel (see :func:`gabriel_graph`)."""
-    if r_cand is None:
-        return _witness_filter_exact(points,
-                                     _delaunay_with_coords(points),
-                                     "rng", cell_size)
-    return _empty_region_graph(points, r_cand, cell_size, "rng")
+    out = (_witness_filter_exact(points, _delaunay_with_coords(points),
+                                 "rng", cell_size)
+           if r_cand is None
+           else _empty_region_graph(points, r_cand, cell_size, "rng"))
+    return _apply_duplicate_edges(out, duplicate_edges, src="u", dst="v")
 
 
 def waxman_graph(points: DataFrame, beta: float, r0: float, seed: int, *,
-                 p_min: float = 1e-6) -> DataFrame:
+                 p_min: float = 1e-6,
+                 duplicate_edges: bool = False) -> DataFrame:
     """Waxman random graph, scalable variant: P(u,v) = β·exp(−d/r0)
     (proximity.py:1556-1563).  The reference draws a dense n×n uniform
     matrix from a seeded numpy Generator — inherently single-node; the
@@ -662,13 +695,15 @@ def waxman_graph(points: DataFrame, beta: float, r0: float, seed: int, *,
                                                  F.col("v"))), 1, 15), 16, 10)
             .cast("bigint").cast("double") / F.lit(float(1 << 60)))
     prob = F.lit(float(beta)) * F.exp(-F.col("dist") / F.lit(float(r0)))
-    return (cand.withColumn("_p", prob).withColumn("_r", draw)
-                .where(F.col("_r") < F.col("_p"))
-                .select("u", "v", F.col("dist").alias("weight")))
+    out = (cand.withColumn("_p", prob).withColumn("_r", draw)
+               .where(F.col("_r") < F.col("_p"))
+               .select("u", "v", F.col("dist").alias("weight")))
+    return _apply_duplicate_edges(out, duplicate_edges, src="u", dst="v")
 
 
 def delaunay_graph(points: DataFrame, *, driver_switch: int = 20_000,
-                   tile_points: int = 2500, max_rounds: int = 6) -> DataFrame:
+                   tile_points: int = 2500, max_rounds: int = 6,
+                   duplicate_edges: bool = False) -> DataFrame:
     """Delaunay triangulation edges (reference proximity.py:890-982: all
     2-combinations of every simplex, deduped).
 
@@ -679,10 +714,10 @@ def delaunay_graph(points: DataFrame, *, driver_switch: int = 20_000,
     is gone.
     """
     n = points.count()
-    if n > driver_switch:
-        return delaunay_graph_distributed(points, tile_points=tile_points,
-                                          max_rounds=max_rounds)
-    return _delaunay_driver(points)
+    out = (delaunay_graph_distributed(points, tile_points=tile_points,
+                                      max_rounds=max_rounds)
+           if n > driver_switch else _delaunay_driver(points))
+    return _apply_duplicate_edges(out, duplicate_edges, src="u", dst="v")
 
 
 def _delaunay_driver(points: DataFrame) -> DataFrame:
@@ -995,7 +1030,9 @@ def delaunay_graph_distributed(points: DataFrame, *, tile_points: int = 2500,
 
 def euclidean_minimum_spanning_tree(points: DataFrame, *,
                                     driver_switch: int = 20_000,
-                                    tile_points: int = 2500) -> DataFrame:
+                                    tile_points: int = 2500,
+                                    duplicate_edges: bool = False
+                                    ) -> DataFrame:
     """EMST (reference proximity.py:1187-1300) over the Delaunay candidate
     set (EMST ⊆ Delaunay for the euclidean metric, proximity.py:1279-1285).
 
@@ -1008,7 +1045,8 @@ def euclidean_minimum_spanning_tree(points: DataFrame, *,
     if n > driver_switch:
         from .topology import minimum_spanning_forest
         cand = delaunay_graph_distributed(points, tile_points=tile_points)
-        return minimum_spanning_forest(cand)
+        return _apply_duplicate_edges(minimum_spanning_forest(cand),
+                                      duplicate_edges, src="u", dst="v")
     cand = _delaunay_driver(points).collect()
     cand.sort(key=lambda r: (r["weight"], r["u"], r["v"]))
     parent: dict = {}
@@ -1028,7 +1066,8 @@ def euclidean_minimum_spanning_tree(points: DataFrame, *,
     spark = points.sparkSession
     df = spark.createDataFrame(keep or [(None, None, None)],
                                "u long, v long, weight double")
-    return df.where(F.col("u").isNotNull())
+    return _apply_duplicate_edges(df.where(F.col("u").isNotNull()),
+                                  duplicate_edges, src="u", dst="v")
 
 
 def waxman_graph_exact(points: DataFrame, beta: float, r0: float,

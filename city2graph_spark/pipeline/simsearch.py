@@ -122,6 +122,69 @@ def cosine_topk(probe: DataFrame, k: int, *, build: DataFrame | None = None,
             .select("qid", "nid", F.col("rnk").cast("long")))
 
 
+def embedding_neardup_pairs(df: DataFrame, threshold: float, *,
+                            method: str = "exact",
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            rows_per_chunk: int = 50_000,
+                            n_planes: int = 12, n_bands: int = 4,
+                            seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the brief's dedup family):
+    canonical (doc_a < doc_b) pairs with cosine similarity ≥ ``threshold``.
+
+    ``method="exact"``: the same hash-chunked block-nested GEMM as
+    :func:`cosine_topk`, emitting every above-threshold pair — each
+    unordered pair meets in exactly one (probe-chunk, build-chunk) block
+    and only the ``qid < bid`` orientation survives, so no dedup shuffle is
+    needed; output volume is the matches themselves.  This is the
+    gate-oracle path (DuckDB brute force agrees row-for-row).
+
+    ``method="lsh"``: ``ann_lsh_candidates`` bucket equi-join + exact JVM
+    rerank + threshold — the sublinear 100 TB path (recall < 1, tunable
+    via n_planes/n_bands like every LSH near-dup)."""
+    t = float(threshold)
+    if method == "lsh":
+        cand = ann_lsh_candidates(df, n_planes=n_planes, n_bands=n_bands,
+                                  seed=seed, id_col=id_col, vec_col=vec_col)
+        sims = cosine_rerank(cand, df, id_col=id_col, vec_col=vec_col)
+        return (sims.where(F.col("sim") >= F.lit(t))
+                .select(F.least("id_a", "id_b").alias("doc_a"),
+                        F.greatest("id_a", "id_b").alias("doc_b")))
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r}; 'exact' or 'lsh'")
+    n = df.count()
+    C = max(1, -(-n // rows_per_chunk))
+
+    bt = (df.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("bvec"))
+          .withColumn("bchunk", F.pmod(F.xxhash64("bid"), F.lit(C)))
+          .withColumn("pchunk", F.explode(F.sequence(F.lit(0), F.lit(C - 1)))))
+    pt = (df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+          .withColumn("pchunk", F.pmod(F.xxhash64("qid"), F.lit(C)))
+          .withColumn("bchunk", F.explode(F.sequence(F.lit(0), F.lit(C - 1)))))
+
+    def block_pairs(ppdf, bpdf):
+        import pandas as pd
+        if len(ppdf) == 0 or len(bpdf) == 0:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64"})
+        qid = ppdf["qid"].to_numpy().astype(np.int64)
+        Q = np.array(list(ppdf["qvec"]), dtype=np.float64)
+        bid = bpdf["bid"].to_numpy().astype(np.int64)
+        B = np.array(list(bpdf["bvec"]), dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        qn[qn == 0.0] = 1.0
+        bn = np.sqrt((B * B).sum(axis=1))
+        bn[bn == 0.0] = 1.0
+        sims = (Q @ B.T) / (qn[:, None] * bn[None, :])
+        hit = (sims >= t) & (qid[:, None] < bid[None, :])
+        qi, bi = np.nonzero(hit)
+        return pd.DataFrame({"doc_a": qid[qi], "doc_b": bid[bi]})
+
+    return (pt.groupBy("pchunk", "bchunk")
+            .cogroup(bt.groupBy("pchunk", "bchunk"))
+            .applyInPandas(block_pairs, "doc_a long, doc_b long"))
+
+
 def cosine_topk_broadcast(probe: DataFrame, k: int, *,
                           build: DataFrame | None = None,
                           id_col: str = "vec_id",

@@ -185,8 +185,12 @@ def test_morphological_graph_dag(mv, buildings):
             out["places"].select("place_id").dropDuplicates().collect()} == {0, 1}
     assert {r.movement_id for r in
             out["movements"].select("movement_id").dropDuplicates().collect()} == {0}
-    assert {(r.poly_id, r.movement_id)
-            for r in out["faced_to"].collect()} == {(0, 0), (1, 0)}
+    faced_rows = out["faced_to"].collect()
+    assert {(r.poly_id, r.movement_id) for r in faced_rows} == {(0, 0), (1, 0)}
+    # D4 (round 4): every layer's edges carry WKT geometry
+    assert all(r.geometry.startswith("LINESTRING (") for r in faced_rows)
+    assert "geometry" in out["touched_to"].columns
+    assert "geometry" in out["connected_to"].columns
     assert out["touched_to"].count() == 0
     assert out["connected_to"].count() == 0
 

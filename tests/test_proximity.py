@@ -188,3 +188,28 @@ def test_knn_hot_block_salting(spark):
     salted = {(r.src, r.dst) for r in
               knn_graph(df, 4, cell_size=500.0, salt_target=50).collect()}
     assert salted == base and len(base) > 0
+
+
+def test_duplicate_edges_option(spark):
+    """Round-4 duplicate_edges surface (reference proximity.py:700-763):
+    True appends the reverse row of every undirected edge; rejected for
+    directed variants before any computation."""
+    from city2graph_spark.operators.proximity import (
+        fixed_radius_graph, gabriel_graph, knn_graph)
+    pts = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 0.0, 1.0)],
+        "node_id long, x double, y double")
+    base = fixed_radius_graph(pts, 1.5)
+    dup = fixed_radius_graph(pts, 1.5, duplicate_edges=True)
+    n = base.count()
+    assert n > 0 and dup.count() == 2 * n
+    got = {(r.src, r.dst) for r in dup.collect()}
+    assert all((b, a) in got for a, b in got)
+    gd = gabriel_graph(pts, duplicate_edges=True)
+    gg = {(r.u, r.v) for r in gd.collect()}
+    assert all((b, a) in gg for a, b in gg)
+    with pytest.raises(ValueError, match="duplicate_edges"):
+        knn_graph(pts, 1, cell_size=10.0, directed=True,
+                  duplicate_edges=True)
+    with pytest.raises(ValueError, match="duplicate_edges"):
+        fixed_radius_graph(pts, 1.5, directed=True, duplicate_edges=True)

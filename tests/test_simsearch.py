@@ -136,3 +136,23 @@ def test_ivf_topk_recall(emb_df):
     full = {r.qid: r.nid
             for r in ivf_topk(df, 1, n_centroids=8, n_probe=8).collect()}
     assert full == exact1
+
+
+def test_embedding_neardup_exact_and_lsh(neardup_df):
+    """Round-4 embedding-cosine near-dup dedup op: the exact block-nested
+    path finds every planted pair (cos ≈ 0.99 ≥ 0.9) with no false
+    positives from the random base (max random cos ≪ 0.9); the LSH path is
+    a subset with recall ≥ 0.9."""
+    from city2graph_spark.pipeline.simsearch import embedding_neardup_pairs
+    df, planted = neardup_df
+    exact = {(r.doc_a, r.doc_b)
+             for r in embedding_neardup_pairs(df, 0.9).collect()}
+    assert planted <= exact
+    # no random-pair false positives: everything found involves a plant
+    assert all(a < 100 and b == 1900 + a for a, b in exact - planted) \
+        or exact == planted
+    lsh = {(r.doc_a, r.doc_b)
+           for r in embedding_neardup_pairs(df, 0.9, method="lsh",
+                                            n_planes=10, n_bands=6).collect()}
+    assert lsh <= exact
+    assert len(lsh & planted) / len(planted) >= 0.9
