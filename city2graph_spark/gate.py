@@ -836,6 +836,79 @@ WHERE {dot} / (a.nrm * b.nrm) >= 0.4
 """
 
 
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end through the REAL Spark plumbing
+    (synth_spans media spans → synth_media binary payload table →
+    decode_features channel means → frame_sample explode → resize_meta):
+    only the pixel decode is the documented deterministic stub, and because
+    the stub is a pure hash function the whole pipeline is DuckDB-
+    expressible — so the binary-column machinery (payload bytes, Arrow
+    batch shapes, per-frame fan-out, aspect math) is hash-checked, not just
+    row-counted."""
+    from .io.documents import synth_spans
+    from .pipeline.multimodal import (
+        decode_features, frame_sample, resize_meta, synth_media)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synth_media(synth_spans(docs))
+    feats = decode_features(media)
+    frames = (frame_sample(media, every_ms=5000)
+              .groupBy("doc_id", "media_ref")
+              .agg(F.count("*").cast("long").alias("n_frames")))
+    rs = resize_meta(media, max_side=128)
+    return (media.select("doc_id", "media_ref", "width", "height",
+                         "duration_ms")
+            .join(feats, ["doc_id", "media_ref"])
+            .join(frames, ["doc_id", "media_ref"])
+            .join(rs, ["doc_id", "media_ref"])
+            .select("doc_id", "media_ref",
+                    F.col("width").cast("long").alias("width"),
+                    F.col("height").cast("long").alias("height"),
+                    F.col("duration_ms").cast("long").alias("duration_ms"),
+                    "n_frames",
+                    F.col("new_width").cast("long").alias("new_width"),
+                    F.col("new_height").cast("long").alias("new_height"),
+                    F.floor(F.col("ch_r") * 100).cast("long").alias("chr_q"),
+                    F.floor(F.col("ch_g") * 100).cast("long").alias("chg_q"),
+                    F.floor(F.col("ch_b") * 100).cast("long").alias("chb_q"),
+                    F.floor(F.col("aspect") * 10000).cast("long")
+                    .alias("aspect_q")))
+
+
+def _media_pipeline_oracle() -> str:
+    # byte i (0-based) of sha256 hex h: ('0x'||substr(h, 2i+1, 2))::INT
+    def byte(h, i):
+        return f"('0x'||substr({h}, {2 * i + 1}, 2))::INT"
+    ch = " , ".join(
+        f"CAST(floor(({'+'.join(byte('h2', 4 * c + j) for j in range(4))})"
+        f"/4.0*100) AS BIGINT) AS ch{'rgb'[c]}_q" for c in range(3))
+    return f"""
+WITH m AS (
+  SELECT doc_id, 'media://img/'||doc_id||'.jpg' AS media_ref,
+         sha256('media://img/'||doc_id||'.jpg') AS h1
+  FROM documents WHERE doc_id % 3 = 0),
+d AS (
+  SELECT doc_id, media_ref,
+         64 + {byte('h1', 0)} % 192 AS width,
+         64 + {byte('h1', 1)} % 192 AS height,
+         1000 + ({byte('h1', 2)} * 256 + {byte('h1', 3)}) % 30000
+             AS duration_ms,
+         sha256(repeat(h1, 8)) AS h2
+  FROM m)
+SELECT doc_id, media_ref,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(floor(duration_ms / 5000.0) + 1 AS BIGINT) AS n_frames,
+       CAST(round(width * least(1.0, 128.0 / greatest(width, height)))
+            AS BIGINT) AS new_width,
+       CAST(round(height * least(1.0, 128.0 / greatest(width, height)))
+            AS BIGINT) AS new_height,
+       {ch},
+       CAST(floor(CAST(width AS DOUBLE) / CAST(height AS DOUBLE) * 10000)
+            AS BIGINT) AS aspect_q
+FROM d
+"""
+
+
 def q_ivf_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with ``n_probe = n_centroids``: every bucket is probed, so the
     candidate set is complete and the result is EXACT cosine top-k by
@@ -1580,6 +1653,7 @@ _SPATIAL_QUERIES = {
     "ivf_topk_exhaustive": (q_ivf_topk_exhaustive,
                             lambda: sql_embedding_topk("duckdb")),
     "embedding_neardup": (q_embedding_neardup, _embedding_neardup_oracle),
+    "media_pipeline": (q_media_pipeline, _media_pipeline_oracle),
     "spans_extract": (q_spans_extract, _spans_extract_oracle),
     "segments_to_graph": (q_segments_to_graph, _segments_oracle),
     "dual_graph": (q_dual_graph, _dual_oracle),

@@ -51,10 +51,12 @@ def synth_media(docs_spans: DataFrame) -> DataFrame:
 
 def _decode_stub(payload: bytes, width: int, height: int):
     """STUB decode: a real deployment replaces this with PIL/libav.  Returns
-    deterministic channel means derived from the payload bytes.  Raises the
-    documented NotImplementedError when asked for real pixels."""
+    deterministic channel means derived from the payload bytes (hashed via
+    their hex rendering so the DuckDB gate oracle — whose sha256 only takes
+    VARCHAR — can replicate the value byte-for-byte).  Raises the documented
+    NotImplementedError when asked for real pixels."""
     import numpy as np
-    h = hashlib.sha256(payload).digest()
+    h = hashlib.sha256(payload.hex().encode()).digest()
     return np.frombuffer(h[:12], dtype=np.uint8).reshape(3, 4).mean(axis=1)
 
 
