@@ -836,6 +836,42 @@ WHERE {dot} / (a.nrm * b.nrm) >= 0.4
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup through the REAL Structured Streaming path —
+    file-source readStream → ``applyInPandasWithState`` seen-hash state →
+    memory sink, drained with processAllAvailable.  Arrival order across
+    partitions is nondeterministic, but the dedup contract makes the
+    emitted SET deterministic: exactly one row per distinct
+    (user_id, content_hash) no matter which event wins — so projecting
+    those two columns hash-checks the stateful streaming machinery against
+    a batch DISTINCT oracle (an extra or missing emission breaks the row
+    count; a wrong hash breaks the value hash)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.windows import read_event_stream, streaming_exact_dedup
+    name = "gate_sdedup_" + uuid.uuid4().hex[:8]
+    # the file source wants a directory: expose the single parquet file
+    # through a temp dir symlink
+    d = tempfile.mkdtemp(prefix=name)
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(d, "events.parquet"))
+    ev = read_event_stream(spark, d)
+    dd = streaming_exact_dedup(ev)
+    q = (dd.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select("user_id", "content_hash")
+
+
+def _streaming_dedup_oracle() -> str:
+    return """
+SELECT DISTINCT user_id, md5(props) AS content_hash FROM events
+"""
+
+
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end-to-end through the REAL Spark plumbing
     (synth_spans media spans → synth_media binary payload table →
@@ -1654,6 +1690,7 @@ _SPATIAL_QUERIES = {
                             lambda: sql_embedding_topk("duckdb")),
     "embedding_neardup": (q_embedding_neardup, _embedding_neardup_oracle),
     "media_pipeline": (q_media_pipeline, _media_pipeline_oracle),
+    "streaming_dedup": (q_streaming_dedup, _streaming_dedup_oracle),
     "spans_extract": (q_spans_extract, _spans_extract_oracle),
     "segments_to_graph": (q_segments_to_graph, _segments_oracle),
     "dual_graph": (q_dual_graph, _dual_oracle),
