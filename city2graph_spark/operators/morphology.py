@@ -267,7 +267,11 @@ def place_to_movement_graph(place_verts: DataFrame, mv: DataFrame, *,
     still = pbbox.join(unmatched, "poly_id", "left_semi").localCheckpoint()
     mcd = float(max_connection_distance)
     fb = None
-    r = cell_size
+    # finite cap: start at mcd/8 so the ladder is ≤4 rounds (r, 2r, 4r,
+    # mcd) — each round costs fixed job overhead, and a radius below
+    # cell_size buys nothing since candidates come in whole cells anyway
+    r = cell_size if not _math.isfinite(mcd) \
+        else max(cell_size, mcd / 8.0)
     while still.head(1):
         cover_r = explode_cells_in_box(
             still, F.col("xmin") - r, F.col("ymin") - r,
@@ -288,11 +292,11 @@ def place_to_movement_graph(place_verts: DataFrame, mv: DataFrame, *,
             .where((F.col("_rn") == 1) & (F.col("dist") <= F.lit(r))
                    & (F.col("dist") <= F.lit(mcd)))
             .select("poly_id", "movement_id", "dist"))
+        best = best.localCheckpoint()   # ≤4 rounds: keep each branch shallow
         fb = best if fb is None else fb.unionByName(best)
-        fb = fb.localCheckpoint()
         if r >= mcd:
             break
-        still = still.join(fb.select("poly_id"), "poly_id", "left_anti") \
+        still = still.join(best.select("poly_id"), "poly_id", "left_anti") \
             .localCheckpoint()
         r = min(r * 2.0, mcd) if _math.isfinite(mcd) else r * 2.0
         if not _math.isfinite(mcd) and still.head(1):
