@@ -732,8 +732,6 @@ def morphological_graphs(building_verts: DataFrame, mv: DataFrame,
     cells = _build_tessellation(building_verts,
                                 _barrier_geometry(tess_mv, barrier_verts),
                                 tessellation)
-    if tessellation == "enclosed":
-        cells = cells.localCheckpoint()
     out = {}
     for d in dv:
         # always filter from the FULL movement table: node ids in ``costs``
@@ -757,11 +755,14 @@ def _build_tessellation(building_verts: DataFrame, mv_near: DataFrame,
         from .tessellation import enclosed_tessellation
         cells = enclosed_tessellation(building_verts, mv_near)
         # empty enclosures become their own places (negative id space,
-        # disjoint from building poly_ids — the reference's eID_-1 cells)
+        # disjoint from building poly_ids — the reference's eID_-1 cells).
+        # localCheckpoint: downstream consumes cells ≥2× (centroid caps +
+        # the kept-join) before _layers_for_distance's own checkpoint —
+        # without it the whole per-enclosure Voronoi recomputes each time
         return cells.withColumn(
             "place_id",
             F.when(F.col("place_id") >= 0, F.col("place_id"))
-             .otherwise(-1 - F.col("enclosure_index")))
+             .otherwise(-1 - F.col("enclosure_index"))).localCheckpoint()
     if tessellation == "morphological":
         from .tessellation import morphological_tessellation
         return morphological_tessellation(building_verts) \

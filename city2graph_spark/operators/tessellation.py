@@ -694,7 +694,8 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
     eids = (hits.join(F.broadcast(areas_df), "eid")
             .withColumn("_rn", F.row_number().over(wn))
             .where(F.col("_rn") == 1)
-            .select(F.col("node_id").alias("poly_id"), "eid"))
+            .select(F.col("node_id").alias("poly_id"), "eid")
+            .localCheckpoint())   # consumed by the verts join AND keep_empty
     verts = building_verts \
         .select("poly_id", "ring", "seq", "x", "y").join(eids, "poly_id")
 
