@@ -115,3 +115,18 @@ def test_crs_enforced_at_operator_boundary(spark):
         spark.createDataFrame([(1, 1.0, 1.0)], PTS), "EPSG:32633"),
         1, cell_size=10.0)
     assert ok.count() == 1
+
+
+def test_empty_neardup_and_dup_edges_contracts(spark):
+    """Round-4 additions keep the empty-input schema contract: zero rows,
+    full schema, no exceptions."""
+    from city2graph_spark.operators.proximity import fixed_radius_graph
+    from city2graph_spark.pipeline.simsearch import embedding_neardup_pairs
+    emb = _empty(spark, "vec_id long, embedding array<float>")
+    out = embedding_neardup_pairs(emb, 0.5)
+    assert out.columns == ["doc_a", "doc_b"] and out.count() == 0
+    lsh = embedding_neardup_pairs(emb, 0.5, method="lsh")
+    assert lsh.columns == ["doc_a", "doc_b"] and lsh.count() == 0
+    pts = _empty(spark, "node_id long, x double, y double")
+    d = fixed_radius_graph(pts, 1.0, duplicate_edges=True)
+    assert d.columns == ["src", "dst", "weight"] and d.count() == 0
