@@ -836,6 +836,96 @@ WHERE {dot} / (a.nrm * b.nrm) >= 0.4
 """
 
 
+def q_network_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 network-metric kNN (reference proximity.py:861-873) through the
+    REAL snap → broadcast-Dijkstra → top-k path, on the noded 6×6 grid
+    streets: every derived point snaps to its unique nearest intersection
+    (no point sits on a snap boundary — checked against the LCG stream),
+    and on a COMPLETE uniform grid the Dijkstra cost between intersections
+    is exactly 1000·Manhattan(grid indices) — closed form in SQL, so the
+    whole network pipeline is hash-checked without a SQL shortest-path."""
+    from .operators.morphology import street_graph
+    from .operators.net import network_knn_graph
+    mv = _grid_streets_noded(spark)
+    nodes, edges = street_graph(mv)
+    e = edges.select(F.col("from_node_id").alias("src"),
+                     F.col("to_node_id").alias("dst"),
+                     F.col("length").alias("weight"))
+    pts = derived_points(spark, sf_dir)
+    out = network_knn_graph(pts, 5, nodes, e)
+    return out.select(F.col("src").cast("long").alias("src"),
+                      F.col("dst").cast("long").alias("dst"),
+                      F.col("weight").cast("long").alias("weight_q"))
+
+
+def _network_knn_oracle() -> str:
+    return f"""
+WITH {POINTS_CTE},
+snap AS (SELECT node_id, CAST(round(x / 1000.0) AS BIGINT) AS gx,
+                CAST(round(y / 1000.0) AS BIGINT) AS gy FROM pts),
+ranked AS (
+  SELECT a.node_id AS sa, b.node_id AS sb,
+         1000 * (abs(a.gx - b.gx) + abs(a.gy - b.gy)) AS cost,
+         row_number() OVER (
+           PARTITION BY a.node_id
+           ORDER BY 1000 * (abs(a.gx - b.gx) + abs(a.gy - b.gy)), b.node_id)
+           AS rn
+  FROM snap a JOIN snap b ON a.node_id <> b.node_id)
+SELECT DISTINCT least(sa, sb) AS src, greatest(sa, sb) AS dst,
+       CAST(cost AS BIGINT) AS weight_q
+FROM ranked WHERE rn <= 5
+"""
+
+
+def q_filter_graph_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 filter_graph_by_distance (reference utils/spatial.py:68-159)
+    through the real snap → cutoff-Dijkstra → induced-subgraph path on the
+    grid streets: center (1250, 750) snaps uniquely to intersection (1,1),
+    and the kept edge set is closed-form (both endpoints within
+    1000·Manhattan ≤ 2500 of (1,1)).  Node ids are internal first-
+    appearance artifacts, so the output keys on endpoint COORDINATES,
+    canonicalised lexicographically."""
+    from .operators.morphology import street_graph
+    from .operators.net import filter_graph_by_distance
+    mv = _grid_streets_noded(spark)
+    nodes, edges = street_graph(mv)
+    e = edges.select(F.col("from_node_id").alias("src"),
+                     F.col("to_node_id").alias("dst"),
+                     F.col("length").alias("weight"))
+    kept = filter_graph_by_distance(nodes, e, (1250.0, 750.0), 2500.0)
+    na = nodes.select(F.col("node_id").alias("src"), F.col("x").alias("ax"),
+                      F.col("y").alias("ay"))
+    nb = nodes.select(F.col("node_id").alias("dst"), F.col("x").alias("bx"),
+                      F.col("y").alias("by"))
+    out = kept.join(na, "src").join(nb, "dst")
+    fwd = (F.col("ax") < F.col("bx")) | ((F.col("ax") == F.col("bx"))
+                                         & (F.col("ay") <= F.col("by")))
+    return out.select(
+        F.when(fwd, F.col("ax")).otherwise(F.col("bx")).cast("long").alias("ax_q"),
+        F.when(fwd, F.col("ay")).otherwise(F.col("by")).cast("long").alias("ay_q"),
+        F.when(fwd, F.col("bx")).otherwise(F.col("ax")).cast("long").alias("bx_q"),
+        F.when(fwd, F.col("by")).otherwise(F.col("ay")).cast("long").alias("by_q"),
+        F.col("weight").cast("long").alias("weight_q"))
+
+
+def _filter_graph_distance_oracle() -> str:
+    return """
+WITH ge AS (
+  SELECT k * 1000 AS ax, r * 1000 AS ay, k * 1000 AS bx,
+         (r + 1) * 1000 AS "by"
+  FROM generate_series(0, 5) t1(k), generate_series(0, 4) t2(r)
+  UNION ALL
+  SELECT r * 1000, k * 1000, (r + 1) * 1000, k * 1000
+  FROM generate_series(0, 5) t1(k), generate_series(0, 4) t2(r))
+SELECT CAST(ax AS BIGINT) AS ax_q, CAST(ay AS BIGINT) AS ay_q,
+       CAST(bx AS BIGINT) AS bx_q, CAST("by" AS BIGINT) AS by_q,
+       CAST(1000 AS BIGINT) AS weight_q
+FROM ge
+WHERE abs(ax / 1000 - 1) + abs(ay / 1000 - 1) <= 2
+  AND abs(bx / 1000 - 1) + abs("by" / 1000 - 1) <= 2
+"""
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup through the REAL Structured Streaming path —
     file-source readStream → ``applyInPandasWithState`` seen-hash state →
@@ -1691,6 +1781,9 @@ _SPATIAL_QUERIES = {
     "embedding_neardup": (q_embedding_neardup, _embedding_neardup_oracle),
     "media_pipeline": (q_media_pipeline, _media_pipeline_oracle),
     "streaming_dedup": (q_streaming_dedup, _streaming_dedup_oracle),
+    "network_knn": (q_network_knn, _network_knn_oracle),
+    "filter_graph_distance": (q_filter_graph_distance,
+                              _filter_graph_distance_oracle),
     "spans_extract": (q_spans_extract, _spans_extract_oracle),
     "segments_to_graph": (q_segments_to_graph, _segments_oracle),
     "dual_graph": (q_dual_graph, _dual_oracle),
