@@ -937,22 +937,29 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a batch DISTINCT oracle (an extra or missing emission breaks the row
     count; a wrong hash breaks the value hash)."""
     import os
+    import shutil
     import tempfile
     import uuid
 
     from .streaming.windows import read_event_stream, streaming_exact_dedup
     name = "gate_sdedup_" + uuid.uuid4().hex[:8]
     # the file source wants a directory: expose the single parquet file
-    # through a temp dir symlink
+    # through a temp dir symlink; always stop the query and remove the dir
+    # (a failed drain must not leak a dangling stream + tempdir per run)
     d = tempfile.mkdtemp(prefix=name)
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
-               os.path.join(d, "events.parquet"))
-    ev = read_event_stream(spark, d)
-    dd = streaming_exact_dedup(ev)
-    q = (dd.writeStream.format("memory").queryName(name)
-         .outputMode("append").start())
-    q.processAllAvailable()
-    q.stop()
+    q = None
+    try:
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+                   os.path.join(d, "events.parquet"))
+        ev = read_event_stream(spark, d)
+        dd = streaming_exact_dedup(ev)
+        q = (dd.writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        q.processAllAvailable()
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select("user_id", "content_hash")
 
 

@@ -267,49 +267,60 @@ def place_to_movement_graph(place_verts: DataFrame, mv: DataFrame, *,
     still = pbbox.join(unmatched, "poly_id", "left_semi").localCheckpoint()
     mcd = float(max_connection_distance)
     fb = None
-    # finite cap: start at mcd/8 so the ladder is ≤4 rounds (r, 2r, 4r,
-    # mcd) — each round costs fixed job overhead, and a radius below
-    # cell_size buys nothing since candidates come in whole cells anyway
-    r = cell_size if not _math.isfinite(mcd) \
-        else max(cell_size, mcd / 8.0)
-    while still.head(1):
-        cover_r = explode_cells_in_box(
-            still, F.col("xmin") - r, F.col("ymin") - r,
-            F.col("xmax") + r, F.col("ymax") + r,
-            cell_size=cell_size).select("poly_id", "qcell")
-        cand_r = (cover_r.join(mhalo, "qcell")
-                  .select("poly_id", "movement_id", "part",
-                          "ax", "ay", "bx", "by")
-                  .dropDuplicates(["poly_id", "movement_id", "part"])
-                  .join(vlist, "poly_id"))
-        best = (cand_r.mapInPandas(
-            refine, "poly_id long, movement_id long, dist double")
-            .groupBy("poly_id", "movement_id")
-            .agg(F.min("dist").alias("dist"))
-            .withColumn("_rn", F.row_number().over(
-                Window.partitionBy("poly_id")
-                .orderBy(F.col("dist").asc(), F.col("movement_id").asc())))
-            .where((F.col("_rn") == 1) & (F.col("dist") <= F.lit(r))
-                   & (F.col("dist") <= F.lit(mcd)))
-            .select("poly_id", "movement_id", "dist"))
-        best = best.localCheckpoint()   # ≤4 rounds: keep each branch shallow
-        fb = best if fb is None else fb.unionByName(best)
-        if r >= mcd:
-            break
-        still = still.join(best.select("poly_id"), "poly_id", "left_anti") \
-            .localCheckpoint()
-        r = min(r * 2.0, mcd) if _math.isfinite(mcd) else r * 2.0
-        if not _math.isfinite(mcd) and still.head(1):
-            # infinite cap: stop doubling once the ring covers the whole
-            # domain diagonal — beyond that every part is already a
-            # candidate (the bounded-broadcast residue of the old plan,
-            # now reached only by places in street-free deserts)
-            dom = pbbox.agg(
-                (F.max("xmax") - F.min("xmin")).alias("w"),
-                (F.max("ymax") - F.min("ymin")).alias("h")).head()
-            if r > _math.hypot(float(dom["w"] or 0.0),
-                               float(dom["h"] or 0.0)) * 2:
+    if still.head(1):
+        # clamp the cap to the joint places∪parts diagonal up front: no
+        # candidate can be farther, so min(mcd, diag) is EXACT for the
+        # infinite cap and the r, 2r, 4r, cap ladder is ALWAYS ≤4 rounds
+        # (round-5 ADVICE: the unclamped inf path doubled r past the
+        # domain while cell_size stayed fixed — O((r/cell)²) exploded
+        # cells per desert place)
+        dom = (pbbox.select("xmin", "ymin", "xmax", "ymax")
+               .unionByName(mid.select(F.col("x").alias("xmin"),
+                                       F.col("y").alias("ymin"),
+                                       F.col("x").alias("xmax"),
+                                       F.col("y").alias("ymax")))
+               .agg(F.min("xmin").alias("x0"), F.min("ymin").alias("y0"),
+                    F.max("xmax").alias("x1"), F.max("ymax").alias("y1"))
+               .head())
+        diag = _math.hypot(float(dom["x1"] - dom["x0"]),
+                           float(dom["y1"] - dom["y0"])) + half + cell_size
+        eff = min(mcd, diag)
+        r = max(cell_size, eff / 8.0)
+        tol_m = tol
+        while still.head(1):
+            # coarsen the bucketing with the radius (cells ~ r/4): late
+            # rounds touch O(1) cells per place instead of O((r/cell)²)
+            cs_r = max(cell_size, r / 4.0)
+            ring_r = max(1, _math.ceil((half + tol_m) / cs_r) + 1)
+            mhalo_r = explode_ring(with_cell(mid, cell_size=cs_r),
+                                   ring=ring_r).select(
+                "movement_id", "part", "ax", "ay", "bx", "by", "qcell")
+            cover_r = explode_cells_in_box(
+                still, F.col("xmin") - r, F.col("ymin") - r,
+                F.col("xmax") + r, F.col("ymax") + r,
+                cell_size=cs_r).select("poly_id", "qcell")
+            cand_r = (cover_r.join(mhalo_r, "qcell")
+                      .select("poly_id", "movement_id", "part",
+                              "ax", "ay", "bx", "by")
+                      .dropDuplicates(["poly_id", "movement_id", "part"])
+                      .join(vlist, "poly_id"))
+            best = (cand_r.mapInPandas(
+                refine, "poly_id long, movement_id long, dist double")
+                .groupBy("poly_id", "movement_id")
+                .agg(F.min("dist").alias("dist"))
+                .withColumn("_rn", F.row_number().over(
+                    Window.partitionBy("poly_id")
+                    .orderBy(F.col("dist").asc(), F.col("movement_id").asc())))
+                .where((F.col("_rn") == 1) & (F.col("dist") <= F.lit(r))
+                       & (F.col("dist") <= F.lit(mcd)))
+                .select("poly_id", "movement_id", "dist"))
+            best = best.localCheckpoint()  # ≤4 rounds: keep branches shallow
+            fb = best if fb is None else fb.unionByName(best)
+            if r >= eff:
                 break
+            still = still.join(best.select("poly_id"), "poly_id", "left_anti") \
+                .localCheckpoint()
+            r = min(r * 2.0, eff)
 
     pairs = matched.select("poly_id", "movement_id")
     if fb is not None:
@@ -422,8 +433,21 @@ def reachable_within_caps(points: DataFrame, mv: DataFrame, costs: dict, *,
                .withColumn("y", (F.col("ay") + F.col("by")) / 2)
     row = parts.agg(F.max("part_len").alias("m")).head()
     import math
-    cell = max(eb, 1e-9)
-    ring = max(1, math.ceil((float(row["m"] or 0.0) / 2 + eb) / cell))
+    if math.isfinite(eb) and eb > 0.0:
+        cell = eb
+        eb_cell = eb
+    else:
+        # extent_buffer=inf (the reference's inf-tolerant caps): every
+        # point↔part pair must be a candidate, so bucket at the domain
+        # extent — each point probes O(1) cells and the halo covers all
+        # parts; the d<=eb filter below is then a no-op
+        ext = (mid.select("x", "y")
+               .unionByName(points.select("x", "y"))
+               .agg((F.max("x") - F.min("x")).alias("w"),
+                    (F.max("y") - F.min("y")).alias("h")).head())
+        cell = max(float(ext["w"] or 0.0), float(ext["h"] or 0.0), 1e-9)
+        eb_cell = cell
+    ring = max(1, math.ceil((float(row["m"] or 0.0) / 2 + eb_cell) / cell))
     from ..index import explode_ring
     mparts = explode_ring(with_cell(mid, cell_size=cell), ring=ring)
     pts = with_cell(points, cell_size=cell)

@@ -366,6 +366,10 @@ def _rep_point(ring: np.ndarray) -> tuple[float, float]:
     with np.errstate(divide="ignore", invalid="ignore"):
         xs = x1 + (ym - y1) * (x2 - x1) / (y2 - y1)
     xs = np.sort(xs[cross])
+    if len(xs) < 2:
+        # degenerate/sliver face (collinear or duplicated vertices): fall
+        # back to the vertex mean rather than aborting the enclosure build
+        return float(ring[:, 0].mean()), float(ring[:, 1].mean())
     return float(0.5 * (xs[0] + xs[1])), float(ym)
 
 
