@@ -187,19 +187,18 @@ def place_to_movement_graph(place_verts: DataFrame, mv: DataFrame, *,
         pbbox, F.col("xmin") - tol, F.col("ymin") - tol,
         F.col("xmax") + tol, F.col("ymax") + tol,
         cell_size=cell_size).select("poly_id", "qcell")
-    mid = parts.withColumn("x", (F.col("ax") + F.col("bx")) / 2) \
-               .withColumn("y", (F.col("ay") + F.col("by")) / 2)
-    half = parts.select(
-        F.max(F.sqrt((F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
-                     + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay")))
-              / 2).alias("h")).head()["h"] or 0.0
-    # part midpoints bucketed; ring widened by the longest half-part
-    import math
-    ring = max(1, math.ceil((half + tol) / cell_size) + 1)
-    mparts = with_cell(mid, cell_size=cell_size)
-    from ..index import explode_ring
-    mhalo = explode_ring(mparts, ring=ring).select(
-        "movement_id", "part", "ax", "ay", "bx", "by", "qcell")
+    # parts explode to the cells of their OWN bbox (+tol) — per-part
+    # variable halo via runtime F.sequence.  (A global max-half explode_ring
+    # is a literal (2r+1)² array: with metre-scale places and km-scale parts
+    # the ring hit ~126 ⇒ a 64k-element Catalyst literal — codegen death.)
+    def _part_cells(cs: float):
+        return explode_cells_in_box(
+            parts, F.least("ax", "bx") - tol, F.least("ay", "by") - tol,
+            F.greatest("ax", "bx") + tol, F.greatest("ay", "by") + tol,
+            cell_size=cs).select("movement_id", "part",
+                                 "ax", "ay", "bx", "by", "qcell")
+
+    mhalo = _part_cells(cell_size)
 
     cand = cover.join(mhalo, "qcell") \
         .select("poly_id", "movement_id", "ax", "ay", "bx", "by").dropDuplicates()
@@ -253,9 +252,9 @@ def place_to_movement_graph(place_verts: DataFrame, mv: DataFrame, *,
     # movements up to max_connection_distance.  Round-4 plan (VERDICT r3
     # 'What's wrong #3'): EXPANDING-RING cell search — radius r, 2r, 4r, …
     # capped by max_connection_distance.  A candidate set built from the
-    # place bbox expanded by r (against midpoint-bucketed parts whose halo
-    # already covers the longest half-part) contains every part within
-    # distance r, so a best candidate at dist ≤ r is the GLOBAL nearest and
+    # place bbox expanded by r (against bbox-cell-exploded parts) contains
+    # every part within distance r, so a best candidate at dist ≤ r is the
+    # GLOBAL nearest (two boxes within r of each other share a cell) and
     # that place leaves the search.  Each round touches only the places
     # still unmatched; no unbounded broadcast anywhere — only the final
     # residue (places with no part within the cap, a sparse desert set)
@@ -275,26 +274,23 @@ def place_to_movement_graph(place_verts: DataFrame, mv: DataFrame, *,
         # domain while cell_size stayed fixed — O((r/cell)²) exploded
         # cells per desert place)
         dom = (pbbox.select("xmin", "ymin", "xmax", "ymax")
-               .unionByName(mid.select(F.col("x").alias("xmin"),
-                                       F.col("y").alias("ymin"),
-                                       F.col("x").alias("xmax"),
-                                       F.col("y").alias("ymax")))
+               .unionByName(parts.select(
+                   F.least("ax", "bx").alias("xmin"),
+                   F.least("ay", "by").alias("ymin"),
+                   F.greatest("ax", "bx").alias("xmax"),
+                   F.greatest("ay", "by").alias("ymax")))
                .agg(F.min("xmin").alias("x0"), F.min("ymin").alias("y0"),
                     F.max("xmax").alias("x1"), F.max("ymax").alias("y1"))
                .head())
         diag = _math.hypot(float(dom["x1"] - dom["x0"]),
-                           float(dom["y1"] - dom["y0"])) + half + cell_size
+                           float(dom["y1"] - dom["y0"])) + cell_size
         eff = min(mcd, diag)
         r = max(cell_size, eff / 8.0)
-        tol_m = tol
         while still.head(1):
             # coarsen the bucketing with the radius (cells ~ r/4): late
             # rounds touch O(1) cells per place instead of O((r/cell)²)
             cs_r = max(cell_size, r / 4.0)
-            ring_r = max(1, _math.ceil((half + tol_m) / cs_r) + 1)
-            mhalo_r = explode_ring(with_cell(mid, cell_size=cs_r),
-                                   ring=ring_r).select(
-                "movement_id", "part", "ax", "ay", "bx", "by", "qcell")
+            mhalo_r = _part_cells(cs_r)
             cover_r = explode_cells_in_box(
                 still, F.col("xmin") - r, F.col("ymin") - r,
                 F.col("xmax") + r, F.col("ymax") + r,
