@@ -94,17 +94,117 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray,
     - ``within`` (strict interior): strictly inside the exterior AND not in
       the CLOSURE of any hole (a hole-boundary point is on the polygon
       boundary ⇒ not within).
+
+    Round 5 generalisation: computed as crossing-number PARITY over ALL
+    rings plus the boundary union — identical to the exterior∧¬holes
+    composition for properly nested ring lists, and additionally correct
+    for MULTIPART ring lists (disconnected cells out of hole subtraction,
+    where a later ring is a separate part, not a hole: parity 1 ⇒ covered).
     """
-    (ex, ey), holes = rings[0], rings[1:]
+    inside = np.zeros(len(px), dtype=bool)
+    on_edge = np.zeros(len(px), dtype=bool)
+    for vx, vy in rings:
+        cov = points_covered_by_ring(px, py, vx, vy)
+        strict = points_within_ring(px, py, vx, vy)
+        inside ^= strict
+        on_edge |= cov & ~strict
     if mode == "within":
-        m = points_within_ring(px, py, ex, ey)
-        for hx, hy in holes:
-            m &= ~points_covered_by_ring(px, py, hx, hy)
-    else:
-        m = points_covered_by_ring(px, py, ex, ey)
-        for hx, hy in holes:
-            m &= ~points_within_ring(px, py, hx, hy)
-    return m
+        return inside & ~on_edge
+    return inside | on_edge
+
+
+def ring_rep_point(ring: np.ndarray) -> tuple[float, float]:
+    """A point strictly inside a simple ring: horizontal scanline through
+    the widest vertical gap between distinct vertex levels, midpoint of the
+    first crossing interval (robust for non-convex rings where the centroid
+    can fall outside).  Degenerate rings fall back to the vertex mean."""
+    ys = np.unique(ring[:, 1])
+    if len(ys) == 1:
+        return float(ring[:, 0].mean()), float(ys[0])
+    ym = 0.5 * (ys[0] + ys[-1])
+    if np.any(np.isclose(ring[:, 1], ym)):
+        gaps = np.diff(ys)
+        gi = int(np.argmax(gaps))
+        ym = 0.5 * (ys[gi] + ys[gi + 1])
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    cross = (y1 > ym) != (y2 > ym)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x1 + (ym - y1) * (x2 - x1) / (y2 - y1)
+    xs = np.sort(xs[cross])
+    if len(xs) < 2:
+        return float(ring[:, 0].mean()), float(ring[:, 1].mean())
+    return float(0.5 * (xs[0] + xs[1])), float(ym)
+
+
+def ring_signs(rings: list[np.ndarray]) -> np.ndarray:
+    """+1/−1 per ring of a possibly-MULTIPART ring list: a ring is a hole
+    (−1) iff its interior representative point lies inside an ODD number of
+    strictly-larger rings (even-odd nesting depth), else a part (+1).
+    Generalises the legacy "ring 0 exterior, rest holes" convention: for a
+    properly nested exterior+holes list it returns [+1, −1, …]; for
+    disconnected cells (hole subtraction output) separate parts at depth 0
+    stay +1."""
+    n = len(rings)
+    areas = np.zeros(n)
+    for i, r in enumerate(rings):
+        if len(r) >= 3:
+            x, y = r[:, 0], r[:, 1]
+            areas[i] = abs(0.5 * float(np.sum(
+                x * np.roll(y, -1) - np.roll(x, -1) * y)))
+    signs = np.ones(n, dtype=np.int64)
+    for i, r in enumerate(rings):
+        if len(r) < 3:
+            continue
+        px, py = ring_rep_point(r)
+        depth = 0
+        for j, o in enumerate(rings):
+            if j == i or len(o) < 3 or areas[j] <= areas[i]:
+                continue
+            if points_covered_by_ring(np.array([px]), np.array([py]),
+                                      o[:, 0], o[:, 1])[0]:
+                depth += 1
+        if depth % 2 == 1:
+            signs[i] = -1
+    return signs
+
+
+def rings_net_area(rings: list[np.ndarray]) -> float:
+    """Net area of a multipart ring list: Σ sign·|area| with containment-
+    classified signs (parts add, holes subtract)."""
+    signs = ring_signs(rings)
+    tot = 0.0
+    for r, s in zip(rings, signs):
+        if len(r) < 3:
+            continue
+        x, y = r[:, 0], r[:, 1]
+        tot += float(s) * abs(0.5 * float(np.sum(
+            x * np.roll(y, -1) - np.roll(x, -1) * y)))
+    return float(tot)
+
+
+def rings_area_centroid(rings: list[np.ndarray]
+                        ) -> tuple[float, float, float]:
+    """(net_area, cx, cy) of a multipart ring list — signed area-weighted
+    centroid with containment-classified signs (GEOS ``centroid`` of a
+    (Multi)Polygon); degenerate net area falls back to the largest ring's
+    vertex mean."""
+    signs = ring_signs(rings)
+    den = nx = ny = 0.0
+    best_a, fx, fy = -1.0, 0.0, 0.0
+    for r, s in zip(rings, signs):
+        if len(r) < 3:
+            continue
+        a, cx, cy = shoelace_area_centroid(r[:, 0], r[:, 1])
+        a = abs(a)
+        if a > best_a:
+            best_a, fx, fy = a, float(r[:, 0].mean()), float(r[:, 1].mean())
+        den += float(s) * a
+        nx += float(s) * a * cx
+        ny += float(s) * a * cy
+    if den <= 0.0:
+        return 0.0, float(fx), float(fy)
+    return float(den), float(nx / den), float(ny / den)
 
 
 def point_segment_distance(px: np.ndarray, py: np.ndarray,

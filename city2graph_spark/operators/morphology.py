@@ -512,15 +512,17 @@ def filter_adjacent_tessellation(cell_verts: DataFrame, mv: DataFrame, *,
 
     def cent(pdf):
         import pandas as pd
-        from ..geo.kernels import shoelace_area_centroid
-        pdf = pdf.sort_values("seq")
-        _, cx, cy = shoelace_area_centroid(pdf["x"].to_numpy(),
-                                           pdf["y"].to_numpy())
+        from ..geo.kernels import rings_area_centroid
+        rings = []
+        for _, grp in pdf.sort_values(["ring", "seq"]).groupby("ring"):
+            rings.append(np.column_stack([grp["x"].to_numpy(),
+                                          grp["y"].to_numpy()]))
+        _, cx, cy = rings_area_centroid(rings)
         return pd.DataFrame({"enclosure_index": [pdf["enclosure_index"].iloc[0]],
                              "place_id": [pdf["place_id"].iloc[0]],
                              "cx": [cx], "cy": [cy]})
 
-    cents = cell_verts.where(F.col("ring") == 0) \
+    cents = cell_verts \
         .groupBy("enclosure_index", "place_id").applyInPandas(
             cent, "enclosure_index long, place_id long, cx double, cy double")
 

@@ -53,33 +53,23 @@ def _poly_id_dtype(df: DataFrame) -> str:
 
 
 def polygon_centroids(verts: DataFrame) -> DataFrame:
-    """(poly_id, cx, cy): hole-aware shoelace area centroid — holes (ring
-    ≥ 1) subtract their area-weighted centroid from the exterior's, the
-    GEOS/shapely ``centroid`` of a holed polygon (degenerate net area
-    falls back to the exterior vertex mean)."""
+    """(poly_id, cx, cy): hole-aware shoelace area centroid with
+    containment-classified ring signs (``geo.kernels.rings_area_centroid``)
+    — nested holes subtract, disconnected extra parts (multipart cells out
+    of hole subtraction) ADD, matching GEOS ``centroid`` of a
+    (Multi)Polygon; degenerate net area falls back to the largest ring's
+    vertex mean."""
     dt = _poly_id_dtype(verts)
 
     def cent(pdf):
         import numpy as np
         import pandas as pd
-        from ..geo.kernels import shoelace_area_centroid
-        num = den = 0.0
-        numx = numy = 0.0
-        fx = fy = 0.0
-        for ring, grp in pdf.groupby("ring"):
-            grp = grp.sort_values("seq")
-            a, cx, cy = shoelace_area_centroid(grp["x"].to_numpy(),
-                                               grp["y"].to_numpy())
-            a = abs(a)
-            if ring == 0:
-                fx, fy = cx, cy
-                numx += a * cx; numy += a * cy; den += a
-            else:
-                numx -= a * cx; numy -= a * cy; den -= a
-        if den <= 0.0:
-            cx, cy = fx, fy
-        else:
-            cx, cy = numx / den, numy / den
+        from ..geo.kernels import rings_area_centroid
+        rings = []
+        for _, grp in pdf.sort_values(["ring", "seq"]).groupby("ring"):
+            rings.append(np.column_stack([grp["x"].to_numpy(),
+                                          grp["y"].to_numpy()]))
+        _, cx, cy = rings_area_centroid(rings)
         return pd.DataFrame({"poly_id": [pdf["poly_id"].iloc[0]],
                              "cx": [cx], "cy": [cy]})
 

@@ -348,29 +348,12 @@ def morphological_tessellation_distributed(building_verts: DataFrame, *,
 # --------------------------------------------------------------------------
 
 def _rep_point(ring: np.ndarray) -> tuple[float, float]:
-    """A point strictly inside a simple ring: scanline at the mid-y of the
-    vertex with the median y — midpoint of the first crossing interval
-    (robust for non-convex faces where the centroid can fall outside)."""
-    ys = np.unique(ring[:, 1])
-    if len(ys) == 1:
-        return float(ring[:, 0].mean()), float(ys[0])
-    ym = 0.5 * (ys[0] + ys[-1])
-    # nudge off any vertex level to avoid degenerate crossings
-    if np.any(np.isclose(ring[:, 1], ym)):
-        gaps = np.diff(ys)
-        gi = int(np.argmax(gaps))
-        ym = 0.5 * (ys[gi] + ys[gi + 1])
-    x1, y1 = ring[:, 0], ring[:, 1]
-    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
-    cross = (y1 > ym) != (y2 > ym)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xs = x1 + (ym - y1) * (x2 - x1) / (y2 - y1)
-    xs = np.sort(xs[cross])
-    if len(xs) < 2:
-        # degenerate/sliver face (collinear or duplicated vertices): fall
-        # back to the vertex mean rather than aborting the enclosure build
-        return float(ring[:, 0].mean()), float(ring[:, 1].mean())
-    return float(0.5 * (xs[0] + xs[1])), float(ym)
+    """A point strictly inside a simple ring (see
+    :func:`geo.kernels.ring_rep_point` — shared with the multipart ring
+    classifier; degenerate/sliver faces fall back to the vertex mean
+    rather than aborting the enclosure build)."""
+    from ..geo.kernels import ring_rep_point
+    return ring_rep_point(ring)
 
 
 def buffered_union_shapes(building_bboxes: np.ndarray,
@@ -530,13 +513,63 @@ def build_enclosures(barrier_segs, limit_rect: tuple[float, float, float, float]
 
 
 def _rings_area(rlist) -> float:
-    """Net area of a cell's ring list (exterior − holes, abs shoelace)."""
-    tot = 0.0
-    for ri, ring in enumerate(rlist):
-        x, y = ring[:, 0], ring[:, 1]
-        a = abs(0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)))
-        tot += a if ri == 0 else -a
-    return tot
+    """Net area of a cell's ring list — containment-classified signs
+    (parts add, holes subtract), so MULTIPART cells out of hole subtraction
+    are measured correctly (ring index no longer implies hole)."""
+    from ..geo.kernels import rings_net_area
+    return rings_net_area(list(rlist))
+
+
+def _subtract_holes(rl: list[np.ndarray], holes: list[np.ndarray]
+                    ) -> list[np.ndarray]:
+    """Ring list of (cell − enclosure holes), momepy-equivalent clipping of
+    a Voronoi cell to the FULL holed enclosure geometry (reference
+    enclosed_tessellation clips to the enclosure polygon, holes included —
+    round-4 deviation 'exterior-only clip' closed).
+
+    Arrangement difference: polygonize the overlay of the cell's rings and
+    the overlapping holes' rings, keep faces strictly inside the cell and
+    not strictly inside any hole, merge kept faces back (shared-edge
+    cancellation).  Output rings are containment-classified downstream
+    (a disconnected remainder comes out as multiple +1 parts, not fake
+    holes).  Cells whose bbox misses every hole return unchanged — the
+    common case costs one bbox sweep."""
+    from ..geo.arrangement import node_segments, polygonize
+    from ..geo.kernels import (points_in_polygon, points_within_ring,
+                               ring_rep_point)
+    from ..geo.voronoi import dissolve_cells
+    if not rl or not holes:
+        return rl
+    ext = rl[0]
+    x0, y0 = float(ext[:, 0].min()), float(ext[:, 1].min())
+    x1, y1 = float(ext[:, 0].max()), float(ext[:, 1].max())
+    hs = [h for h in holes
+          if len(h) >= 3 and h[:, 0].max() >= x0 and h[:, 0].min() <= x1
+          and h[:, 1].max() >= y0 and h[:, 1].min() <= y1]
+    if not hs:
+        return rl
+    segs = []
+    for ring in [*rl, *hs]:
+        nxt = np.roll(np.arange(len(ring)), -1)
+        for i in range(len(ring)):
+            segs.append([ring[i, 0], ring[i, 1],
+                         ring[nxt[i], 0], ring[nxt[i], 1]])
+    faces = polygonize(node_segments(np.array(segs)))
+    cell_rings = [(r[:, 0], r[:, 1]) for r in rl]
+    kept = []
+    for f in faces:
+        px, py = ring_rep_point(f)
+        pxa, pya = np.array([px]), np.array([py])
+        if not points_in_polygon(pxa, pya, cell_rings, mode="within")[0]:
+            continue
+        if any(points_within_ring(pxa, pya, h[:, 0], h[:, 1])[0]
+               for h in hs):
+            continue
+        kept.append(f)
+    if not kept:
+        return []
+    merged = dissolve_cells(kept, np.zeros(len(kept), dtype=np.int64))
+    return [r for r in merged.get(0, []) if len(r) >= 3]
 
 
 # retry ladder rungs (reference _run_tessellation_with_retries +
@@ -573,18 +606,21 @@ def _tessellate_one_enclosure(ering: np.ndarray, pdf, segment: float,
     coordinate snap (``grid_size=1e-3``, same-owner duplicates dropped),
     then with a 100× stronger deterministic jitter, then degrades.
 
-    ``holes``: inner boundary rings of a ring-shaped enclosure (union-limit
+    ``holes``: inner boundary rings of a holed enclosure (union-limit
     mode).  Empty/single-building cells carry them through exactly;
-    multi-building Voronoi cells are clipped to the EXTERIOR only
-    (documented deviation — holed enclosures with ≥2 buildings are
-    barrier-separated islands, where cell overflow into the hole is bounded
-    by the surrounding barrier ring in practice)."""
+    multi-building Voronoi cells are clipped against the holes too
+    (:func:`_subtract_holes` — round 4 clipped to the exterior only, a
+    documented deviation now closed: cells partition the FULL holed
+    enclosure, so the overfill validation compares against the holed
+    area and downstream contiguity sees no double-covered ground).  A cell
+    disconnected by a hole comes out as multiple parts, containment-
+    classified by the ring-sign kernels."""
     from ..geo.voronoi import dissolve_cells, halfplane_cells
-    holes = list(holes or ())
+    holes = [h for h in (holes or ()) if len(h) >= 3]
     pids = sorted(pdf["poly_id"].unique())
     if len(pids) == 1:
         return [(int(pids[0]), [ering, *holes])]
-    earea = _rings_area([ering])
+    earea = _rings_area([ering, *holes])
     for rung in _RETRY_LADDER:
         S, O = _building_samples(pdf, segment, shrink,
                                  jitter_eps=rung.get("jitter_eps", 1e-6))
@@ -599,8 +635,12 @@ def _tessellate_one_enclosure(ering: np.ndarray, pdf, segment: float,
             S, O = S[ui], O[ui]
         clipped = halfplane_cells(S, ering)
         rings = dissolve_cells(clipped, O)
-        out = [(int(pid), [r for r in rlist if len(r) >= 3])
-               for pid, rlist in sorted(rings.items())]
+        out = []
+        for pid, rlist in sorted(rings.items()):
+            rl = [r for r in rlist if len(r) >= 3]
+            if holes:
+                rl = _subtract_holes(rl, holes)
+            out.append((int(pid), rl))
         total = sum(_rings_area(rl) for _, rl in out)
         if earea <= 0.0 or total <= earea * _OVERFILL_TOLERANCE:
             return out

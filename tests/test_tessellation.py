@@ -245,3 +245,99 @@ def test_buffered_union_limit_vs_rectangle(spark):
         cov |= points_covered_by_ring(gx, gy, sh[:, 0], sh[:, 1])
     union_area = cov.sum() * 4.0
     assert abs(sum(union.values()) - union_area) < union_area * 0.02
+
+
+def test_ring_classification_multipart():
+    """Round-5 ring-sign kernels: containment-classified signs generalise
+    'ring 0 exterior, rest holes' to multipart lists (disconnected cells
+    out of hole subtraction)."""
+    from city2graph_spark.geo.kernels import (
+        points_in_polygon, ring_signs, rings_area_centroid, rings_net_area)
+    big = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    hole = np.array([[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0]])
+    part = np.array([[20.0, 0.0], [24.0, 0.0], [24.0, 4.0], [20.0, 4.0]])
+    island = np.array([[4.5, 4.5], [5.5, 4.5], [5.5, 5.5], [4.5, 5.5]])
+
+    assert list(ring_signs([big, hole])) == [1, -1]
+    assert list(ring_signs([big, hole, part])) == [1, -1, 1]
+    assert list(ring_signs([big, hole, island])) == [1, -1, 1]  # depth 2
+
+    assert abs(rings_net_area([big, hole, part]) - (100 - 4 + 16)) < 1e-9
+    a, cx, cy = rings_area_centroid([big, part])
+    # area-weighted mean of (5,5)x100 and (22,2)x16
+    assert abs(a - 116) < 1e-9
+    assert abs(cx - (5 * 100 + 22 * 16) / 116.0) < 1e-9
+    assert abs(cy - (5 * 100 + 2 * 16) / 116.0) < 1e-9
+
+    # parity PIP: a point in the disconnected part IS covered (the legacy
+    # exterior-first composition would have treated the part as a hole)
+    rings = [(r[:, 0], r[:, 1]) for r in (big, hole, part)]
+    px = np.array([22.0, 5.0, 2.0, 30.0])
+    py = np.array([2.0, 5.0, 2.0, 2.0])
+    assert list(points_in_polygon(px, py, rings)) == [True, False, True, False]
+
+
+def test_holed_enclosure_cells_respect_hole():
+    """Round-5 (VERDICT r4 'Next #2'): multi-building cells in a holed
+    (ring-shaped) enclosure are clipped against the hole — momepy clips to
+    the full enclosure geometry.  Two buildings in a 100x100 annulus with a
+    60x60 hole: without subtraction the cells would tile the full square
+    (total ~10000); with it they tile the annulus (total ~6400) and no
+    probe point inside the hole is covered by any cell."""
+    import pandas as pd
+
+    import city2graph_spark.operators.tessellation as T
+    from city2graph_spark.geo.kernels import points_in_polygon
+
+    ering = np.array([[0.0, 0.0], [100.0, 0.0], [100.0, 100.0], [0.0, 100.0]])
+    hole = np.array([[20.0, 20.0], [80.0, 20.0], [80.0, 80.0], [20.0, 80.0]])
+    rows = []
+    for pid, (cx, cy) in ((1, (10.0, 50.0)), (2, (90.0, 50.0))):
+        sq = [(cx - 2, cy - 2), (cx + 2, cy - 2), (cx + 2, cy + 2),
+              (cx - 2, cy + 2), (cx - 2, cy - 2)]
+        rows += [(pid, 0, i, x, y) for i, (x, y) in enumerate(sq)]
+    pdf = pd.DataFrame(rows, columns=["poly_id", "ring", "seq", "x", "y"])
+
+    out = T._tessellate_one_enclosure(ering, pdf, 2.0, 0.4, holes=[hole])
+    assert out is not None and {pid for pid, _ in out} == {1, 2}
+    annulus = 10000.0 - 3600.0
+    total = sum(T._rings_area(rl) for _, rl in out)
+    assert abs(total - annulus) < annulus * 0.05
+    # probe grid strictly inside the hole: covered by NO cell
+    gx, gy = np.meshgrid(np.linspace(25, 75, 11), np.linspace(25, 75, 11))
+    px, py = gx.ravel(), gy.ravel()
+    for _, rl in out:
+        rings = [(r[:, 0], r[:, 1]) for r in rl]
+        assert not points_in_polygon(px, py, rings).any()
+    # and the two cells still tile: a probe ring inside the annulus is
+    # covered by exactly one cell
+    ax = np.array([10.0, 42.5, 90.0, 57.5])
+    ay = np.array([50.0, 10.0, 50.0, 90.0])
+    cover = sum(points_in_polygon(ax, ay, [(r[:, 0], r[:, 1]) for r in rl])
+                .astype(int) for _, rl in out)
+    assert list(cover) == [1, 1, 1, 1]
+
+
+def test_grid_snap_rung_boundary_hugging(monkeypatch):
+    """Round-5 (VERDICT r4 'What's wrong #3'): the grid-snap retry rung can
+    move a boundary-hugging sample across the enclosure edge; the build
+    must survive (valid partition or a loud degrade), never crash."""
+    import pandas as pd
+
+    import city2graph_spark.operators.tessellation as T
+
+    monkeypatch.setattr(T, "_RETRY_LADDER", ({"grid_size": 1e-3},))
+    ering = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    rows = []
+    # footprints touching the enclosure boundary (shrink=0 keeps samples on
+    # the edge; the 1e-3 snap of a jittered edge sample can cross it)
+    for pid, (cx, cy) in ((1, (1.0, 5.0)), (2, (9.0, 5.0))):
+        sq = [(cx - 1, cy - 1), (cx + 1, cy - 1), (cx + 1, cy + 1),
+              (cx - 1, cy + 1), (cx - 1, cy - 1)]
+        rows += [(pid, 0, i, x, y) for i, (x, y) in enumerate(sq)]
+    pdf = pd.DataFrame(rows, columns=["poly_id", "ring", "seq", "x", "y"])
+    out = T._tessellate_one_enclosure(ering, pdf, 0.5, 0.0)
+    if out is not None:  # degrade (None) is the loud fallback contract
+        total = sum(T._rings_area(rl) for _, rl in out)
+        assert total <= 100.0 * T._OVERFILL_TOLERANCE
+        assert {pid for pid, _ in out} <= {1, 2}
