@@ -1845,14 +1845,20 @@ def _grid_streets_noded(spark: SparkSession) -> DataFrame:
 def q_morphological_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end morphological_graph on the strip fixture: reachability
     field from the (0,0) corner → M11 reachable movements → enclosed
-    tessellation → M10 centroid caps (extent_buffer=455 drops the
-    mid-enclosure strips m∈{12,13,14} whose centroids sit >455m from every
-    street, plus the outer ring face) → touched_to with the enclosure group
-    filter (cross-enclosure strip cells share street-line vertices and MUST
-    NOT pair) → faced_to (strips touch their enclosure's top/bottom blocks;
-    first/last strips also the side blocks) → connected_to (street dual).
-    One unified (layer, a, b) table; every layer is closed-form on the
-    lattice so the DuckDB oracle is exact."""
+    tessellation under the round-5 BUFFERED-UNION default limit (each block
+    enclosure = block minus its union hole, an L-shaped region >100 m from
+    every street and building buffer; strips are hole-clipped, interior
+    strips into TWO parts around v∈(201,900)) → M10 centroid caps
+    (extent_buffer=455: every hole-clipped strip centroid sits within 455 m
+    of a street — interior v̄ = 115200.5/301 ≈ 382.7 via the bottom street,
+    first/last strips via their side street — while the outer frame
+    enclosure's centroid (2500,2500) is 500 m from every street and drops)
+    → touched_to with the enclosure group filter (cross-enclosure strip
+    cells share street-line vertices and MUST NOT pair) → faced_to (strips
+    touch their enclosure's top/bottom blocks; first/last strips also the
+    side blocks) → connected_to (street dual).  One unified (layer, a, b)
+    table; every layer is closed-form on the lattice so the DuckDB oracle
+    is exact."""
     from .operators.morphology import morphological_graph
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     if n_docs % 25 != 0 or not 50 <= n_docs <= 700:
@@ -1887,21 +1893,21 @@ def q_morphological_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _morphological_dag_oracle() -> str:
-    # strips: pid = gx + 5·gy + 25·m, cx offset 100+30m; centroid offset
-    # o(m): first strip (0+115)/2, last ((85+30·mmax)+1000)/2, else 100+30m;
-    # kept iff least(o, 1000−o, 500) ≤ 455.  Enclosure eid = 1+gx·5+gy (the
-    # buffered-limit ring face is eid 0 and is dropped by the caps rule).
+    # strips: pid = gx + 5·gy + 25·m, cx offset 100+30m.  Under the
+    # buffered-union default limit every block enclosure loses its union
+    # hole {u∈(100,900), v∈(201,900)} ∪ {u∈(201+30·mmax, 900), v∈(100,201)}
+    # and the hole-clipped strips ALL satisfy the 455 m centroid cap
+    # (interior strips: v̄ = (201·100.5 + 100·950)/301 ≈ 382.7 from the
+    # bottom street; first strip: ū ≈ 52 from the left street; last strip:
+    # 1000−ū ≤ 345 from the right street for every 1 ≤ mmax ≤ 27), so
+    # kept = ALL strips.  Enclosure eid = 1+gx·5+gy (the buffered-union
+    # frame enclosure is eid 0 — minx −100 sorts first — and its holed
+    # centroid (2500,2500) is 500 m from every street ⇒ dropped by M10).
     return """
 WITH st AS (SELECT doc_id AS pid, doc_id % 5 AS gx, (doc_id // 5) % 5 AS gy,
                    doc_id // 25 AS m FROM documents),
 mm AS (SELECT MAX(m) AS mmax FROM st),
-strips AS (SELECT pid, gx, gy, m,
-                  CASE WHEN m = 0 THEN 57.5
-                       WHEN m = (SELECT mmax FROM mm)
-                           THEN (1085.0 + 30 * m) / 2.0
-                       ELSE 100.0 + 30 * m END AS o
-           FROM st),
-kept AS (SELECT * FROM strips WHERE least(o, 1000 - o, 500.0) <= 455.0),
+kept AS (SELECT pid, gx, gy, m FROM st),
 place AS (SELECT 'place' AS layer, CAST(pid AS BIGINT) AS a,
                  CAST(1 + gx * 5 + gy AS BIGINT) AS b FROM kept),
 touch AS (SELECT 'touch' AS layer, CAST(k1.pid AS BIGINT) AS a,

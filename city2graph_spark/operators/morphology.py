@@ -173,7 +173,10 @@ def place_to_movement_graph(place_verts: DataFrame, mv: DataFrame, *,
               .withColumn("x2", F.lead("x").over(w))
               .withColumn("y2", F.lead("y").over(w))
               .where(F.col("x2").isNotNull()))
-    pbbox = pedges.where(F.col("ring") == 0).groupBy("poly_id").agg(
+    # ALL rings in the bbox too: a multipart cell's second part can lie
+    # outside ring 0's bbox (hole-clipped strips), and its street contacts
+    # must still enter the candidate cover
+    pbbox = pedges.groupBy("poly_id").agg(
         F.min(F.least("x", "x2")).alias("xmin"),
         F.min(F.least("y", "y2")).alias("ymin"),
         F.max(F.greatest("x", "x2")).alias("xmax"),

@@ -149,7 +149,10 @@ def group_nodes(verts: DataFrame, points: DataFrame, *,
     from ..crs import ensure_same_crs
     ensure_same_crs(verts, points)
     dt = _poly_id_dtype(verts)
-    ext = verts.where(F.col("ring") == 0)
+    # bbox over ALL rings: identical for nested holes (inside the
+    # exterior), required for MULTIPART cells whose later rings are
+    # disconnected parts outside ring 0's bbox
+    ext = verts
     bbox = ext.groupBy("poly_id").agg(
         F.min("x").alias("xmin"), F.min("y").alias("ymin"),
         F.max("x").alias("xmax"), F.max("y").alias("ymax"))

@@ -72,7 +72,8 @@ def rasterize_polygons(verts: DataFrame, *, cell_size: float,
     pixel explode → exact PIP refine via the ``group_nodes`` kernel.
     Returns (poly_id, px, py)."""
     from .polygons import group_nodes
-    ext = verts.where(F.col("ring") == 0)
+    # all rings: superset bbox, exact for multipart ring lists
+    ext = verts
     bbox = ext.groupBy("poly_id").agg(
         F.min("x").alias("xmin"), F.min("y").alias("ymin"),
         F.max("x").alias("xmax"), F.max("y").alias("ymax"))

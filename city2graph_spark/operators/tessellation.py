@@ -423,14 +423,16 @@ def build_enclosures_limited(barrier_segs: np.ndarray,
         else np.array(bsegs)
     faces = polygonize(node_segments(allsegs))
 
-    kept = []
-    for ring in faces:
-        px, py = _rep_point(ring)
-        for sh in limit_shapes:
-            if points_covered_by_ring(np.array([px]), np.array([py]),
-                                      sh[:, 0], sh[:, 1])[0]:
-                kept.append(ring)
-                break
+    if not faces:
+        return []
+    # vectorized inside-union test: all face rep points against each shape
+    # at once (one call per shape, not per (face, shape) pair)
+    reps = np.array([_rep_point(ring) for ring in faces])
+    covered = np.zeros(len(faces), dtype=bool)
+    for sh in limit_shapes:
+        covered |= points_covered_by_ring(reps[:, 0], reps[:, 1],
+                                          sh[:, 0], sh[:, 1])
+    kept = [faces[i] for i in np.nonzero(covered)[0]]
     if not kept:
         return []
 
@@ -651,7 +653,7 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
                           segment: float = 0.5, shrink: float = 0.4,
                           buffer: float = 100.0,
                           limit: tuple[float, float, float, float] | None = None,
-                          limit_mode: str = "rect",
+                          limit_mode: str = "union",
                           keep_empty: bool = True) -> DataFrame:
     """M5 enclosed tessellation (reference utils/spatial.py:2725-2830 +
     momepy.enclosed_tessellation): polygonize the barrier (street)
@@ -666,12 +668,15 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
     independent.  At 100 TB the building table never gathers anywhere.
 
     ``barriers_mv``: movement polyline vertex table (movement_id, seq, x, y).
-    ``limit``: (xmin, ymin, xmax, ymax) enclosure boundary; default = data
-    bbox buffered by ``buffer``.  ``limit_mode="union"`` instead derives the
-    reference's buffered-UNION limit (spatial.py:2922-2962 — per-building /
-    per-barrier 100 m buffers unioned, so the limit follows the built
-    fabric; see :func:`buffered_union_shapes` for the mitered-rectangle
-    approximation); explicit ``limit`` wins over either mode.
+    ``limit``: (xmin, ymin, xmax, ymax) enclosure boundary; an explicit
+    ``limit`` wins over either mode.  With no limit the DEFAULT is the
+    reference's buffered-UNION limit (``limit_mode="union"``, round 5 —
+    the reference derives it whenever no explicit limit is given,
+    spatial.py:2922-2962: per-building / per-barrier 100 m buffers unioned,
+    so the limit follows the built fabric and street-front cells never
+    stretch into empty land; see :func:`buffered_union_shapes` for the
+    mitered-rectangle approximation).  ``limit_mode="rect"`` selects the
+    legacy buffered-bbox rectangle.
 
     Returns a polygon vertex table (enclosure_index, place_id, ring, seq,
     x, y); ``place_id`` is the owning building's poly_id, or -1 for an
@@ -792,12 +797,13 @@ def create_tessellation(building_verts: DataFrame,
                         shrink: float = 0.4,
                         buffer: float = 100.0,
                         limit: tuple[float, float, float, float] | None = None,
-                        limit_mode: str = "rect") -> DataFrame:
+                        limit_mode: str = "union") -> DataFrame:
     """M5 entry point (spatial.py:2085-2197): barriers given → enclosed
     tessellation (the reference's default urban path); no barriers →
     morphological tessellation with bounding-box clip, tess_id = building
-    index.  ``limit_mode="union"`` selects the reference's buffered-union
-    enclosure limit (spatial.py:2922-2962)."""
+    index.  With no explicit ``limit`` the default is the reference's
+    buffered-union enclosure limit (spatial.py:2922-2962);
+    ``limit_mode="rect"`` selects the legacy buffered-bbox rectangle."""
     if primary_barriers is not None:
         return enclosed_tessellation(building_verts, primary_barriers,
                                      segment=segment, shrink=shrink,

@@ -218,9 +218,11 @@ def test_buffered_union_limit_vs_rectangle(spark):
             out[key] = out.get(key, 0.0) + (abs(a) if ring == 0 else -abs(a))
         return out
 
-    rect = areas(enclosed_tessellation(bv, mv, buffer=50.0))
-    union = areas(enclosed_tessellation(bv, mv, buffer=50.0,
-                                        limit_mode="union"))
+    rect = areas(enclosed_tessellation(bv, mv, buffer=50.0,
+                                       limit_mode="rect"))
+    # round 5: with no explicit limit the DEFAULT is the buffered-union
+    # limit (reference default, spatial.py:2922-2962)
+    union = areas(enclosed_tessellation(bv, mv, buffer=50.0))
 
     # rectangle mode: the outer enclosure spans the global bbox (~1.2M m²)
     assert max(rect.values()) > 0.8e6
