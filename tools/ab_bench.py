@@ -63,10 +63,16 @@ def main() -> None:
                 .where(F.col("doc_a") < F.col("doc_b"))
                 .select("doc_a", "doc_b").dropDuplicates())
 
+    from city2graph_spark.operators.proximity import relative_neighborhood_graph
     arms = {
         "minhash_fused": lambda: lsh_pairs_from(minhash_signatures).count(),
         "minhash_agg": lambda: lsh_pairs_from(minhash_signatures_agg).count(),
         "gabriel": lambda: gabriel_graph(pts, r_cand=6.0 * spacing).count(),
+        # round 5: RNG shares the float32-banded GEMM path — its time
+        # should sit within noise of gabriel's (same traffic + 2 extra f32
+        # lune matrices)
+        "rng": lambda: relative_neighborhood_graph(
+            pts, r_cand=6.0 * spacing).count(),
     }
     times: dict[str, list[float]] = {k: [] for k in arms}
     for rep in range(reps):
