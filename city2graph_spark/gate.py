@@ -1293,6 +1293,74 @@ UNION ALL SELECT CAST(d AS BIGINT), layer, a, b FROM mv
 """
 
 
+def q_filter_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 filter_adjacent_tessellation (reference morphology.py:2749-2831)
+    directly on the union-default enclosed tessellation of the strip
+    fixture, max_distance=100: kept ⇔ cell centroid within 100 m of a
+    street intersecting the cell's enclosure.  Closed form: only the m=0
+    strips survive (hole-clipped centroid ū ≈ 52.5 from the left street);
+    interior strips sit 382.7 m (= 115200.5/301) from their nearest street,
+    last strips ≥ 119 m, and the holed frame enclosure's centroid
+    (2500,2500) is 500 m out — margins ≥ 19 m on every decision, so
+    float noise cannot flip membership."""
+    from .operators.tessellation import enclosed_tessellation
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    if n_docs % 25 != 0 or not 50 <= n_docs <= 700:
+        raise AssertionError(
+            f"filter_adjacent fixture needs n%25==0 and 50<=n<=700 "
+            f"(got {n_docs}); extend _derived_buildings first")
+    from .operators.morphology import filter_adjacent_tessellation
+    bv = _derived_buildings(spark, sf_dir)
+    mv = _grid_streets_noded(spark)
+    cells = enclosed_tessellation(bv, mv, segment=10.0)
+    kept = filter_adjacent_tessellation(cells, mv, max_distance=100.0)
+    return (kept.select("enclosure_index", "place_id").dropDuplicates()
+            .select(F.col("enclosure_index").cast("long")
+                    .alias("enclosure_index"),
+                    F.col("place_id").cast("long").alias("place_id")))
+
+
+def _filter_adjacent_oracle() -> str:
+    return """
+SELECT CAST(1 + (doc_id % 5) * 5 + (doc_id // 5) % 5 AS BIGINT)
+           AS enclosure_index,
+       CAST(doc_id AS BIGINT) AS place_id
+FROM documents WHERE doc_id // 25 = 0
+"""
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-pair recall through the REAL IVF path (quantizer → n_probe
+    bucket join → JVM rerank → window): every embedding gets a planted
+    near-duplicate; a plant and its source are near-parallel, so they land
+    in the same (or a co-probed) coarse cell and each planted probe's
+    top-1 neighbor must be its source.  Oracle = the plant table —
+    hash-green certifies recall 1.0 on plants for the APPROXIMATE
+    (n_probe < n_centroids) configuration."""
+    from .pipeline.simsearch import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    plants = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, (v, i) -> CAST(v + 0.001 * "
+               "(CASE WHEN pmod(vec_id * 131 + i * 17, 2) = 0 "
+               "THEN 1.0 ELSE -1.0 END) AS FLOAT))").alias("embedding"))
+    both = emb.unionByName(plants)
+    top = ivf_topk(both, 1, n_centroids=16, n_probe=4)
+    return (top.where((F.col("qid") >= 100000)
+                      & (F.col("nid") == F.col("qid") - 100000))
+            .select((F.col("qid") - 100000).cast("long").alias("vec_id"),
+                    F.col("qid").cast("long").alias("planted_id")))
+
+
+def _ivf_recall_oracle() -> str:
+    return """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(vec_id + 100000 AS BIGINT) AS planted_id
+FROM embeddings
+"""
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup through the REAL Structured Streaming path —
     file-source readStream → ``applyInPandasWithState`` seen-hash state →
@@ -2172,6 +2240,8 @@ _SPATIAL_QUERIES = {
     "segments_barriers": (q_segments_barriers, _segments_barriers_oracle),
     "morphological_multi": (q_morphological_multi,
                             _morphological_multi_oracle),
+    "filter_adjacent": (q_filter_adjacent, _filter_adjacent_oracle),
+    "ivf_recall": (q_ivf_recall, _ivf_recall_oracle),
     "spans_extract": (q_spans_extract, _spans_extract_oracle),
     "segments_to_graph": (q_segments_to_graph, _segments_oracle),
     "dual_graph": (q_dual_graph, _dual_oracle),
