@@ -1293,6 +1293,42 @@ UNION ALL SELECT CAST(d AS BIGINT), layer, a, b FROM mv
 """
 
 
+def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 canonicalize_edges (reference topology.py:423-431) in
+    duplicates='key' mode: a directed edge set where every 3rd edge also
+    appears reversed; canonical (min,max) pairs with a per-pair edge_key
+    cumcount ordered by the pre-canonical (src,dst) pair.  13 is coprime
+    to the 500-doc table and 168·i ≡ −98 (mod 500) has no solution (parity
+    argument), so no two source rows collide onto one canonical pair
+    except the constructed reversals."""
+    from .operators.topology import canonicalize_edges
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    base = docs.select(F.col("doc_id").alias("src"),
+                       ((F.col("doc_id") * 13 + 7) % F.lit(n)).alias("dst"))
+    rev = base.where(F.col("src") % 3 == 0) \
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    out = canonicalize_edges(base.unionByName(rev), duplicates="key")
+    return out.select(F.col("src").cast("long").alias("src"),
+                      F.col("dst").cast("long").alias("dst"),
+                      F.col("edge_key").cast("long").alias("edge_key"))
+
+
+def _canonicalize_oracle() -> str:
+    return """
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+base AS (SELECT doc_id AS os, (doc_id * 13 + 7) % (SELECT c FROM nn) AS od
+         FROM documents),
+alle AS (SELECT os, od FROM base
+         UNION ALL SELECT od, os FROM base WHERE os % 3 = 0)
+SELECT CAST(least(os, od) AS BIGINT) AS src,
+       CAST(greatest(os, od) AS BIGINT) AS dst,
+       CAST(row_number() OVER (PARTITION BY least(os, od), greatest(os, od)
+                               ORDER BY os, od) - 1 AS BIGINT) AS edge_key
+FROM alle
+"""
+
+
 def q_filter_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M12 filter_adjacent_tessellation (reference morphology.py:2749-2831)
     directly on the union-default enclosed tessellation of the strip
@@ -2242,6 +2278,7 @@ _SPATIAL_QUERIES = {
                             _morphological_multi_oracle),
     "filter_adjacent": (q_filter_adjacent, _filter_adjacent_oracle),
     "ivf_recall": (q_ivf_recall, _ivf_recall_oracle),
+    "canonicalize_edges": (q_canonicalize, _canonicalize_oracle),
     "spans_extract": (q_spans_extract, _spans_extract_oracle),
     "segments_to_graph": (q_segments_to_graph, _segments_oracle),
     "dual_graph": (q_dual_graph, _dual_oracle),

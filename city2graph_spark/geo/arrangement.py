@@ -167,14 +167,11 @@ def polygonize(segs: np.ndarray, *, min_area: float = 1e-9
     pos_in_vertex = np.empty(nh, dtype=np.int64)
     pos_in_vertex[order] = np.arange(nh) - starts[sorted_src]
 
-    nxt = np.empty(nh, dtype=np.int64)
-    for h in range(nh):
-        t = twin[h]
-        v = src[t]
-        s, e = starts[v], ends[v]
-        k = e - s
-        idx = pos_in_vertex[t]
-        nxt[h] = order[s + (idx - 1) % k]
+    # vectorized successor: next(h) = clockwise predecessor of twin(h)
+    # among the outgoing edges at twin's source vertex
+    tv = src[twin]
+    kdeg = ends[tv] - starts[tv]
+    nxt = order[starts[tv] + (pos_in_vertex[twin] - 1) % kdeg]
 
     faces = []
     visited = np.zeros(nh, dtype=bool)

@@ -654,6 +654,7 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
                           buffer: float = 100.0,
                           limit: tuple[float, float, float, float] | None = None,
                           limit_mode: str = "union",
+                          union_driver_cap: int = 50_000,
                           keep_empty: bool = True) -> DataFrame:
     """M5 enclosed tessellation (reference utils/spatial.py:2725-2830 +
     momepy.enclosed_tessellation): polygonize the barrier (street)
@@ -689,8 +690,21 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
     segs = np.array([[r["ax"], r["ay"], r["bx"], r["by"]] for r in parts]) \
         if parts else np.empty((0, 4))
     if limit is None and limit_mode == "union":
-        # one bbox row per building (bounded collect, same size class as
-        # the street-segment gather above)
+        # one bbox row per building.  The union-limit arrangement is a
+        # DRIVER pass over buildings ∪ barriers (like momepy's in-process
+        # enclosures) and its noding is quadratic in segment count — cap it
+        # LOUDLY rather than degrade silently; past the cap callers pass an
+        # explicit ``limit`` / ``limit_mode="rect"`` (or pre-clip buildings
+        # to the working area).  Follow-up for true metro scale: tiled
+        # enclosure build with halo certification, the same pattern as
+        # ``morphological_tessellation_distributed``.
+        n_b = building_verts.select("poly_id").dropDuplicates().count()
+        if n_b > union_driver_cap:
+            raise ValueError(
+                f"buffered-union enclosure limit gathers {n_b} building "
+                f"bboxes at the driver (> union_driver_cap="
+                f"{union_driver_cap}); pass an explicit limit, "
+                f"limit_mode='rect', or raise the cap")
         bbs = (building_verts.where(F.col("ring") == 0).groupBy("poly_id")
                .agg(F.min("x").alias("x0"), F.min("y").alias("y0"),
                     F.max("x").alias("x1"), F.max("y").alias("y1"))

@@ -343,3 +343,14 @@ def test_grid_snap_rung_boundary_hugging(monkeypatch):
         total = sum(T._rings_area(rl) for _, rl in out)
         assert total <= 100.0 * T._OVERFILL_TOLERANCE
         assert {pid for pid, _ in out} <= {1, 2}
+
+
+def test_union_driver_cap_loud(spark, grid_buildings):
+    """The union-limit enclosure build must refuse loudly past its driver
+    cap instead of degrading into a quadratic driver arrangement."""
+    from city2graph_spark.operators.tessellation import enclosed_tessellation
+    mv = spark.createDataFrame(
+        [(0, 0, -100.0, -100.0), (0, 1, 400.0, -100.0)],
+        "movement_id long, seq long, x double, y double")
+    with pytest.raises(ValueError, match="union_driver_cap"):
+        enclosed_tessellation(grid_buildings, mv, union_driver_cap=3)
