@@ -1348,7 +1348,9 @@ def q_filter_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.morphology import filter_adjacent_tessellation
     bv = _derived_buildings(spark, sf_dir)
     mv = _grid_streets_noded(spark)
-    cells = enclosed_tessellation(bv, mv, segment=10.0)
+    # checkpoint: M12 consumes the cells twice (centroid pass + the kept
+    # join) — without it the per-enclosure Voronoi recomputes per consumer
+    cells = enclosed_tessellation(bv, mv, segment=10.0).localCheckpoint()
     kept = filter_adjacent_tessellation(cells, mv, max_distance=100.0)
     return (kept.select("enclosure_index", "place_id").dropDuplicates()
             .select(F.col("enclosure_index").cast("long")
