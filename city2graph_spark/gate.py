@@ -1293,6 +1293,61 @@ UNION ALL SELECT CAST(d AS BIGINT), layer, a, b FROM mv
 """
 
 
+def q_tessellation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 under the buffered-union DEFAULT limit, checked at the GEOMETRY
+    level: per-cell net areas of the hole-clipped strips.  Closed form
+    (see the oracle): interior strips 30·(201+100) = 9030 (two parts
+    around the union hole), first strip 115000 − 15·699 = 104515, last
+    strip 274716 − 6000·mmax, and the holed frame enclosure nets
+    5200² − 5000² = 2,040,000 — the strip areas sum exactly to
+    block − hole, so a single overfilled or hole-blind cell breaks the
+    hash."""
+    from .geo.kernels import rings_net_area
+    from .operators.tessellation import enclosed_tessellation
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    if n_docs % 25 != 0 or not 50 <= n_docs <= 700:
+        raise AssertionError(
+            f"tessellation_union fixture needs n%25==0 and 50<=n<=700 "
+            f"(got {n_docs}); extend _derived_buildings first")
+    bv = _derived_buildings(spark, sf_dir)
+    mv = _grid_streets_noded(spark)
+    cells = enclosed_tessellation(bv, mv, segment=10.0)
+
+    def area(pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+        rings = []
+        for _, grp in pdf.sort_values(["ring", "seq"]).groupby("ring"):
+            rings.append(np.column_stack([grp["x"].to_numpy(),
+                                          grp["y"].to_numpy()]))
+        a = rings_net_area(rings)
+        return pd.DataFrame({
+            "enclosure_index": [int(pdf["enclosure_index"].iloc[0])],
+            "place_id": [int(pdf["place_id"].iloc[0])],
+            "area_q": [int(math.floor(a + 0.5))]})
+
+    return cells.groupBy("enclosure_index", "place_id").applyInPandas(
+        area, "enclosure_index long, place_id long, area_q long")
+
+
+def _tessellation_union_oracle() -> str:
+    return """
+WITH st AS (SELECT doc_id AS pid, doc_id % 5 AS gx, (doc_id // 5) % 5 AS gy,
+                   doc_id // 25 AS m FROM documents),
+mm AS (SELECT MAX(m) AS mmax FROM st)
+SELECT CAST(1 + gx * 5 + gy AS BIGINT) AS enclosure_index,
+       CAST(pid AS BIGINT) AS place_id,
+       CAST(CASE WHEN m = 0 THEN 104515
+                 WHEN m = (SELECT mmax FROM mm) THEN 274716 - 6000 * m
+                 ELSE 9030 END AS BIGINT) AS area_q
+FROM st
+UNION ALL
+SELECT CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(2040000 AS BIGINT)
+"""
+
+
 def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 canonicalize_edges (reference topology.py:423-431) in
     duplicates='key' mode: a directed edge set where every 3rd edge also
@@ -2281,6 +2336,7 @@ _SPATIAL_QUERIES = {
     "filter_adjacent": (q_filter_adjacent, _filter_adjacent_oracle),
     "ivf_recall": (q_ivf_recall, _ivf_recall_oracle),
     "canonicalize_edges": (q_canonicalize, _canonicalize_oracle),
+    "tessellation_union": (q_tessellation_union, _tessellation_union_oracle),
     "spans_extract": (q_spans_extract, _spans_extract_oracle),
     "segments_to_graph": (q_segments_to_graph, _segments_oracle),
     "dual_graph": (q_dual_graph, _dual_oracle),
