@@ -1348,6 +1348,55 @@ SELECT CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(2040000 AS BIGINT)
 """
 
 
+def q_edge_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 with_edge_geometry (reference proximity.py:612-690): euclidean
+    straight + manhattan L-path WKT LINESTRINGs over grid-intersection
+    edges.  Integer-valued doubles render identically in both engines
+    ("1000.0"), so the WKT STRINGS themselves are hash-checked — the
+    materialisation format, not just the numbers."""
+    from .operators.geometry import with_edge_geometry
+    g = spark.range(36).select(
+        F.col("id").alias("node_id"),
+        (F.col("id") % 6).alias("_gx"), (F.col("id") / 6).cast("long").alias("_gy"))
+    pts = g.select("node_id", (F.col("_gx") * 1000.0).alias("x"),
+                   (F.col("_gy") * 1000.0).alias("y"))
+    right = g.where(F.col("_gx") < 5).select(
+        F.col("node_id").alias("src"), (F.col("node_id") + 1).alias("dst"))
+    up = g.where(F.col("_gy") < 5).select(
+        F.col("node_id").alias("src"), (F.col("node_id") + 6).alias("dst"))
+    e = right.unionByName(up)
+    we = with_edge_geometry(e, pts, metric="euclidean", out="wkt_e")
+    wm = with_edge_geometry(e, pts, metric="manhattan", out="wkt_m")
+    return (we.join(wm, ["src", "dst"])
+            .select(F.col("src").cast("long").alias("src"),
+                    F.col("dst").cast("long").alias("dst"),
+                    "wkt_e", "wkt_m"))
+
+
+def _edge_geometry_oracle() -> str:
+    def v(e):
+        return f"CAST({e} AS VARCHAR)"
+    return f"""
+WITH g AS (SELECT i.i AS node_id, i.i % 6 AS gx, i.i // 6 AS gy,
+                  CAST((i.i % 6) * 1000 AS DOUBLE) AS x,
+                  CAST((i.i // 6) * 1000 AS DOUBLE) AS y
+           FROM (SELECT unnest(generate_series(0, 35)) AS i) i(i)),
+e AS (SELECT a.node_id AS src, b.node_id AS dst,
+             a.x AS ux, a.y AS uy, b.x AS vx, b.y AS vy
+      FROM g a JOIN g b ON b.node_id = a.node_id + 1 AND a.gx < 5
+      UNION ALL
+      SELECT a.node_id, b.node_id, a.x, a.y, b.x, b.y
+      FROM g a JOIN g b ON b.node_id = a.node_id + 6 AND a.gy < 5)
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       'LINESTRING (' || {v('ux')} || ' ' || {v('uy')} || ', '
+           || {v('vx')} || ' ' || {v('vy')} || ')' AS wkt_e,
+       'LINESTRING (' || {v('ux')} || ' ' || {v('uy')} || ', '
+           || {v('vx')} || ' ' || {v('uy')} || ', '
+           || {v('vx')} || ' ' || {v('vy')} || ')' AS wkt_m
+FROM e
+"""
+
+
 def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 canonicalize_edges (reference topology.py:423-431) in
     duplicates='key' mode: a directed edge set where every 3rd edge also
@@ -2337,6 +2386,7 @@ _SPATIAL_QUERIES = {
     "ivf_recall": (q_ivf_recall, _ivf_recall_oracle),
     "canonicalize_edges": (q_canonicalize, _canonicalize_oracle),
     "tessellation_union": (q_tessellation_union, _tessellation_union_oracle),
+    "edge_geometry": (q_edge_geometry, _edge_geometry_oracle),
     "spans_extract": (q_spans_extract, _spans_extract_oracle),
     "segments_to_graph": (q_segments_to_graph, _segments_oracle),
     "dual_graph": (q_dual_graph, _dual_oracle),
