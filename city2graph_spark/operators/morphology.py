@@ -183,7 +183,12 @@ def place_to_movement_graph(place_verts: DataFrame, mv: DataFrame, *,
         F.max(F.greatest("y", "y2")).alias("ymax"))
     if cell_size is None:
         row = pbbox.agg(F.avg(F.col("xmax") - F.col("xmin")).alias("w")).head()
-        cell_size = max(float(row["w"] or 1.0) * 2.0, 1e-9)
+        prow = parts.agg(F.max("part_len").alias("m")).head()
+        # floor the auto cell at longest-part/8: a long DIAGONAL part's
+        # bbox otherwise explodes to (len/cs)² cells when places are tiny
+        # (axis-aligned parts have thin bboxes and never hit this)
+        cell_size = max(float(row["w"] or 1.0) * 2.0,
+                        float(prow["m"] or 0.0) / 8.0, 1e-9)
 
     tol = float(tolerance)
     cover = explode_cells_in_box(
