@@ -76,32 +76,77 @@ def node_segments(segs: np.ndarray, *, grid: float = 1e-12) -> np.ndarray:
     cuts: list[list[float]] = [[0.0, 1.0] for _ in range(m)]
     p = segs[:, 0:2]
     r = segs[:, 2:4] - segs[:, 0:2]
-    block = 512
-    for i0 in range(0, m, block):
-        i1 = min(i0 + block, m)
-        P = p[i0:i1][:, None, :]          # (b,1,2)
-        R = r[i0:i1][:, None, :]
-        Q = p[None, :, :]                 # (1,m,2)
-        S = r[None, :, :]
-        d = R[..., 0] * S[..., 1] - R[..., 1] * S[..., 0]      # (b,m)
-        qp = Q - P
-        tn = qp[..., 0] * S[..., 1] - qp[..., 1] * S[..., 0]
-        un = qp[..., 0] * R[..., 1] - qp[..., 1] * R[..., 0]
+    # two-stage pairing (round 5): a blockwise boolean BBOX prefilter
+    # (pure comparisons — no float temporaries) selects candidate pairs,
+    # and the exact parametric intersection runs 1-D over candidates only.
+    # Intersecting segments' bboxes always overlap (expanded by a hair for
+    # the ±1e-12 parameter overhang), so the candidate set is a superset
+    # and the cut parameters are computed by the SAME expressions as
+    # before — identical output, ~10-50× less memory traffic.
+    btol = 1e-9 * scale
+    bx0 = np.minimum(segs[:, 0], segs[:, 2]) - btol
+    bx1 = np.maximum(segs[:, 0], segs[:, 2]) + btol
+    by0 = np.minimum(segs[:, 1], segs[:, 3]) - btol
+    by1 = np.maximum(segs[:, 1], segs[:, 3]) + btol
+    eps = 1e-12
+    # grid-bucketed candidate pairs: each segment's bbox explodes to the
+    # cells it covers (cell = median bbox extent); pairs sharing a cell
+    # are the only ones whose bboxes can overlap beyond one cell apart —
+    # O(m·overlap), not O(m²), and the exact parameters below are the
+    # SAME expressions as always, so the output is unchanged.
+    cs = max(float(np.median(np.maximum(bx1 - bx0, by1 - by0))), g, 1e-12)
+    cell_i, cell_x, cell_y = [], [], []
+    for i in range(m):
+        cx0, cx1 = int(np.floor(bx0[i] / cs)), int(np.floor(bx1[i] / cs))
+        cy0, cy1 = int(np.floor(by0[i] / cs)), int(np.floor(by1[i] / cs))
+        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+        cell_i.append(np.full(nx * ny, i, dtype=np.int64))
+        xs = np.repeat(np.arange(cx0, cx1 + 1), ny)
+        ys = np.tile(np.arange(cy0, cy1 + 1), nx)
+        cell_x.append(xs)
+        cell_y.append(ys)
+    ci = np.concatenate(cell_i)
+    ck = np.concatenate(cell_x) * (np.int64(1) << 32) + np.concatenate(cell_y)
+    order = np.argsort(ck, kind="stable")
+    ck_s, ci_s = ck[order], ci[order]
+    starts = np.nonzero(np.r_[True, ck_s[1:] != ck_s[:-1]])[0]
+    ends = np.r_[starts[1:], len(ck_s)]
+    pair_a, pair_b = [], []
+    for s0, e0 in zip(starts, ends):
+        k = e0 - s0
+        if k < 2:
+            continue
+        ids = ci_s[s0:e0]
+        A = np.repeat(ids, k)
+        B = np.tile(ids, k)
+        sel = A < B
+        pair_a.append(A[sel])
+        pair_b.append(B[sel])
+    if pair_a:
+        pa = np.concatenate(pair_a)
+        pb = np.concatenate(pair_b)
+        pk = np.unique(pa * np.int64(m) + pb)   # dedupe multi-cell pairs
+        pa, pb = pk // m, pk % m
+        ov = ((bx0[pa] <= bx1[pb]) & (bx1[pa] >= bx0[pb])
+              & (by0[pa] <= by1[pb]) & (by1[pa] >= by0[pb]))
+        pa, pb = pa[ov], pb[ov]
+        # both orientations, matching the legacy full-matrix sweep
+        gi = np.concatenate([pa, pb])
+        bj = np.concatenate([pb, pa])
+        R = r[gi]
+        S = r[bj]
+        d = R[:, 0] * S[:, 1] - R[:, 1] * S[:, 0]
+        qp = p[bj] - p[gi]
+        tn = qp[:, 0] * S[:, 1] - qp[:, 1] * S[:, 0]
+        un = qp[:, 0] * R[:, 1] - qp[:, 1] * R[:, 0]
         with np.errstate(divide="ignore", invalid="ignore"):
             t = tn / d
             u = un / d
-        eps = 1e-12
         ok = (np.abs(d) > eps) & (t >= -eps) & (t <= 1 + eps) \
             & (u >= -eps) & (u <= 1 + eps)
-        bi, bj = np.nonzero(ok)
-        for a, b, tv, uv in zip(bi, bj, t[bi, bj], u[bi, bj]):
-            gi = i0 + a
-            if gi == b:
-                continue
+        for a, tv in zip(gi[ok], t[ok]):
             if 1e-12 < tv < 1 - 1e-12:
-                cuts[gi].append(float(tv))
-            if 1e-12 < uv < 1 - 1e-12:
-                cuts[b].append(float(uv))
+                cuts[a].append(float(tv))
     pieces = []
     for i in range(m):
         ts = np.unique(np.clip(np.array(cuts[i]), 0.0, 1.0))

@@ -118,6 +118,20 @@ def ring_rep_point(ring: np.ndarray) -> tuple[float, float]:
     the widest vertical gap between distinct vertex levels, midpoint of the
     first crossing interval (robust for non-convex rings where the centroid
     can fall outside).  Degenerate rings fall back to the vertex mean."""
+    # fast path: strictly convex ring ⇒ the vertex mean is interior
+    # (arrangement faces are overwhelmingly convex; the scanline below is
+    # ~20× the cost and only needed for reflex rings)
+    x, y = ring[:, 0], ring[:, 1]
+    n = len(ring)
+    if n >= 3:
+        ex = np.empty(n); ey = np.empty(n)
+        ex[:-1] = x[1:] - x[:-1]; ex[-1] = x[0] - x[-1]
+        ey[:-1] = y[1:] - y[:-1]; ey[-1] = y[0] - y[-1]
+        cr = np.empty(n)
+        cr[:-1] = ex[:-1] * ey[1:] - ey[:-1] * ex[1:]
+        cr[-1] = ex[-1] * ey[0] - ey[-1] * ex[0]
+        if (cr > 0.0).all() or (cr < 0.0).all():
+            return float(x.mean()), float(y.mean())
     ys = np.unique(ring[:, 1])
     if len(ys) == 1:
         return float(ring[:, 0].mean()), float(ys[0])

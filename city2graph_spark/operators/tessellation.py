@@ -425,13 +425,48 @@ def build_enclosures_limited(barrier_segs: np.ndarray,
 
     if not faces:
         return []
-    # vectorized inside-union test: all face rep points against each shape
-    # at once (one call per shape, not per (face, shape) pair)
+    # inside-union test, bucketed (round 5): every limit shape is a CONVEX
+    # quad by construction (building bbox rect / mitered barrier capsule),
+    # so covered_by reduces to four orientation-signed half-plane tests;
+    # face rep points bucket into a shape-sized grid and each shape tests
+    # only the points under its own bbox — O(points·overlap) instead of
+    # O(points·shapes).
     reps = np.array([_rep_point(ring) for ring in faces])
     covered = np.zeros(len(faces), dtype=bool)
-    for sh in limit_shapes:
-        covered |= points_covered_by_ring(reps[:, 0], reps[:, 1],
-                                          sh[:, 0], sh[:, 1])
+    sh_arr = [np.asarray(sh, dtype=np.float64) for sh in limit_shapes]
+    cs = max(float(np.median([sh[:, 0].max() - sh[:, 0].min()
+                              for sh in sh_arr])), 1e-9)
+    gx = np.floor(reps[:, 0] / cs).astype(np.int64)
+    gy = np.floor(reps[:, 1] / cs).astype(np.int64)
+    order = np.lexsort((gy, gx))
+    gkey = gx[order] * (1 << 32) + gy[order]
+    for sh in sh_arr:
+        x0, x1 = sh[:, 0].min(), sh[:, 0].max()
+        y0, y1 = sh[:, 1].min(), sh[:, 1].max()
+        cand = []
+        for cx in range(int(np.floor(x0 / cs)), int(np.floor(x1 / cs)) + 1):
+            lo = np.searchsorted(gkey, cx * (1 << 32)
+                                 + int(np.floor(y0 / cs)))
+            hi = np.searchsorted(gkey, cx * (1 << 32)
+                                 + int(np.floor(y1 / cs)), "right")
+            if hi > lo:
+                cand.append(order[lo:hi])
+        if not cand:
+            continue
+        idx = np.concatenate(cand)
+        idx = idx[~covered[idx]]
+        if len(idx) == 0:
+            continue
+        px, py = reps[idx, 0], reps[idx, 1]
+        sx, sy = sh[:, 0], sh[:, 1]
+        orient = np.sign(np.sum(sx * np.roll(sy, -1) - np.roll(sx, -1) * sy))
+        inside = np.ones(len(idx), dtype=bool)
+        for i in range(len(sh)):
+            ax, ay = sh[i]
+            bx, by = sh[(i + 1) % len(sh)]
+            inside &= orient * ((bx - ax) * (py - ay)
+                                - (by - ay) * (px - ax)) >= 0.0
+        covered[idx[inside]] = True
     kept = [faces[i] for i in np.nonzero(covered)[0]]
     if not kept:
         return []
@@ -445,9 +480,13 @@ def build_enclosures_limited(barrier_segs: np.ndarray,
             i = parent[i]
         return i
 
+    # pass 1: collect shared-edge merge candidates; pass 2: ONE vectorized
+    # barrier-distance sweep over all candidate midpoints (per barrier
+    # segment), then union-find merges where the edge is not on a barrier
     edge_owner: dict = {}
     scale = max(float(np.abs(allsegs).max()), 1.0)
     tol = 1e-9 * scale
+    cand_fi, cand_fj, cand_mx, cand_my = [], [], [], []
     for fi, ring in enumerate(kept):
         nxt = np.roll(np.arange(len(ring)), -1)
         for i in range(len(ring)):
@@ -455,18 +494,24 @@ def build_enclosures_limited(barrier_segs: np.ndarray,
             b = (ring[nxt[i], 0], ring[nxt[i], 1])
             key = (a, b) if a < b else (b, a)
             if key in edge_owner:
-                fj = edge_owner[key]
-                mx, my = 0.5 * (a[0] + b[0]), 0.5 * (a[1] + b[1])
-                on_barrier = False
-                if len(segs):
-                    d, _ = point_segment_distance(
-                        np.full(len(segs), mx), np.full(len(segs), my),
-                        segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3])
-                    on_barrier = bool((d <= tol).any())
-                if not on_barrier:
-                    parent[find(fi)] = find(fj)
+                cand_fi.append(fi)
+                cand_fj.append(edge_owner[key])
+                cand_mx.append(0.5 * (a[0] + b[0]))
+                cand_my.append(0.5 * (a[1] + b[1]))
             else:
                 edge_owner[key] = fi
+    if cand_fi:
+        mx = np.array(cand_mx)
+        my = np.array(cand_my)
+        on_barrier = np.zeros(len(mx), dtype=bool)
+        for s in segs:
+            d, _ = point_segment_distance(
+                mx, my, np.full(len(mx), s[0]), np.full(len(mx), s[1]),
+                np.full(len(mx), s[2]), np.full(len(mx), s[3]))
+            on_barrier |= d <= tol
+        for fi, fj, ob in zip(cand_fi, cand_fj, on_barrier):
+            if not ob:
+                parent[find(fi)] = find(fj)
     groups = np.array([find(i) for i in range(len(kept))])
     rings_by_group = dissolve_cells(kept, groups)
 
@@ -654,7 +699,7 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
                           buffer: float = 100.0,
                           limit: tuple[float, float, float, float] | None = None,
                           limit_mode: str = "union",
-                          union_driver_cap: int = 50_000,
+                          union_driver_cap: int = 20_000,
                           keep_empty: bool = True) -> DataFrame:
     """M5 enclosed tessellation (reference utils/spatial.py:2725-2830 +
     momepy.enclosed_tessellation): polygonize the barrier (street)
