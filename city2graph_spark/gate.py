@@ -1546,6 +1546,49 @@ SELECT DISTINCT user_id, md5(props) AS content_hash FROM events
 """
 
 
+def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation through the REAL Structured
+    Streaming path (readStream → window("1 hour") groupBy → COMPLETE-mode
+    memory sink): complete mode's final snapshot equals the batch
+    aggregation regardless of arrival order, and the projected COUNTS are
+    integers, so the row is hash-exact against a batch date_trunc GROUP BY
+    (float value sums stay out of the projection — their summation order
+    is nondeterministic)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.windows import read_event_stream, windowed_event_counts
+    name = "gate_swin_" + uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix=name)
+    q = None
+    try:
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+                   os.path.join(d, "events.parquet"))
+        ev = read_event_stream(spark, d)
+        wc = windowed_event_counts(ev, window="1 hour")
+        q = (wc.writeStream.format("memory").queryName(name)
+             .outputMode("complete").start())
+        q.processAllAvailable()
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(d, ignore_errors=True)
+    return (spark.table(name)
+            .select(F.expr("unix_micros(CAST(window_start AS TIMESTAMP))")
+                    .alias("win_us"), "event_type",
+                    F.col("n").cast("long").alias("n")))
+
+
+def _streaming_windows_oracle() -> str:
+    return """
+SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end-to-end through the REAL Spark plumbing
     (synth_spans media spans → synth_media binary payload table →
@@ -2371,6 +2414,7 @@ _SPATIAL_QUERIES = {
     "embedding_neardup": (q_embedding_neardup, _embedding_neardup_oracle),
     "media_pipeline": (q_media_pipeline, _media_pipeline_oracle),
     "streaming_dedup": (q_streaming_dedup, _streaming_dedup_oracle),
+    "streaming_windows": (q_streaming_windows, _streaming_windows_oracle),
     "network_knn": (q_network_knn, _network_knn_oracle),
     "filter_graph_distance": (q_filter_graph_distance,
                               _filter_graph_distance_oracle),
