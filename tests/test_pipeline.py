@@ -222,3 +222,24 @@ def test_streaming_bloom_dedup_bounded_state(spark):
         assert all(max(v) <= 6000 for v in per_key.values())
     finally:
         q.stop()
+
+
+def test_session_windows_gap_semantics(spark):
+    """Gap-based sessionization (batch mode): events within `gap` of the
+    running session extend it; session end = last event + gap."""
+    import datetime as dt
+    from city2graph_spark.streaming.windows import session_windows
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1.0), (1, t0 + dt.timedelta(minutes=10), 2.0),
+        (1, t0 + dt.timedelta(minutes=50), 4.0),   # 50 > 10+30 ⇒ new session
+        (2, t0 + dt.timedelta(minutes=5), 8.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {(r.user_id, str(r.session_start), str(r.session_end)): r.n_events
+           for r in session_windows(ev, gap="30 minutes").collect()}
+    assert out == {
+        (1, "2024-01-01 12:00:00", "2024-01-01 12:40:00"): 2,
+        (1, "2024-01-01 12:50:00", "2024-01-01 13:20:00"): 1,
+        (2, "2024-01-01 12:05:00", "2024-01-01 12:35:00"): 1,
+    }
