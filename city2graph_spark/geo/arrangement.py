@@ -73,7 +73,13 @@ def node_segments(segs: np.ndarray, *, grid: float = 1e-12) -> np.ndarray:
         return segs.reshape(0, 4)
     scale = max(1.0, float(np.abs(segs).max()))
     g = grid * scale
-    cuts: list[list[float]] = [[0.0, 1.0] for _ in range(m)]
+    # per-segment cut lists of (t, x, y): every crossing stores ONE
+    # canonical snapped point shared by both segments (round 5 — computing
+    # the point parametrically per segment and snapping independently can
+    # land the two copies on ADJACENT grid points when a nearly-parallel
+    # pair meets a long edge, so the face fails to close and the dangle
+    # pruner eats it; T-junctions canonicalise to the touching ENDPOINT)
+    cuts: list[list[tuple]] = [[] for _ in range(m)]
     p = segs[:, 0:2]
     r = segs[:, 2:4] - segs[:, 0:2]
     # two-stage pairing (round 5): a blockwise boolean BBOX prefilter
@@ -130,13 +136,10 @@ def node_segments(segs: np.ndarray, *, grid: float = 1e-12) -> np.ndarray:
         ov = ((bx0[pa] <= bx1[pb]) & (bx1[pa] >= bx0[pb])
               & (by0[pa] <= by1[pb]) & (by1[pa] >= by0[pb]))
         pa, pb = pa[ov], pb[ov]
-        # both orientations, matching the legacy full-matrix sweep
-        gi = np.concatenate([pa, pb])
-        bj = np.concatenate([pb, pa])
-        R = r[gi]
-        S = r[bj]
+        R = r[pa]
+        S = r[pb]
         d = R[:, 0] * S[:, 1] - R[:, 1] * S[:, 0]
-        qp = p[bj] - p[gi]
+        qp = p[pb] - p[pa]
         tn = qp[:, 0] * S[:, 1] - qp[:, 1] * S[:, 0]
         un = qp[:, 0] * R[:, 1] - qp[:, 1] * R[:, 0]
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -144,15 +147,29 @@ def node_segments(segs: np.ndarray, *, grid: float = 1e-12) -> np.ndarray:
             u = un / d
         ok = (np.abs(d) > eps) & (t >= -eps) & (t <= 1 + eps) \
             & (u >= -eps) & (u <= 1 + eps)
-        for a, tv in zip(gi[ok], t[ok]):
-            if 1e-12 < tv < 1 - 1e-12:
-                cuts[a].append(float(tv))
+        for a, b, tv, uv in zip(pa[ok], pb[ok], t[ok], u[ok]):
+            if uv <= eps:
+                px, py = segs[b, 0], segs[b, 1]
+            elif uv >= 1 - eps:
+                px, py = segs[b, 2], segs[b, 3]
+            elif tv <= eps:
+                px, py = segs[a, 0], segs[a, 1]
+            elif tv >= 1 - eps:
+                px, py = segs[a, 2], segs[a, 3]
+            else:
+                px = p[a, 0] + tv * r[a, 0]
+                py = p[a, 1] + tv * r[a, 1]
+            if eps < tv < 1 - eps:
+                cuts[a].append((float(tv), px, py))
+            if eps < uv < 1 - eps:
+                cuts[b].append((float(uv), px, py))
     pieces = []
     for i in range(m):
-        ts = np.unique(np.clip(np.array(cuts[i]), 0.0, 1.0))
-        pts = p[i] + ts[:, None] * r[i]
-        pts = _snap(pts, g)
-        for a in range(len(ts) - 1):
+        ents = cuts[i] + [(0.0, segs[i, 0], segs[i, 1]),
+                          (1.0, segs[i, 2], segs[i, 3])]
+        ents.sort(key=lambda e: e[0])
+        pts = _snap(np.array([[e[1], e[2]] for e in ents]), g)
+        for a in range(len(ents) - 1):
             if not np.array_equal(pts[a], pts[a + 1]):
                 pieces.append((pts[a, 0], pts[a, 1], pts[a + 1, 0], pts[a + 1, 1]))
     if not pieces:

@@ -735,28 +735,44 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
     segs = np.array([[r["ax"], r["ay"], r["bx"], r["by"]] for r in parts]) \
         if parts else np.empty((0, 4))
     if limit is None and limit_mode == "union":
-        # one bbox row per building.  The union-limit arrangement is a
-        # DRIVER pass over buildings ∪ barriers (like momepy's in-process
-        # enclosures) and its noding is quadratic in segment count — cap it
-        # LOUDLY rather than degrade silently; past the cap callers pass an
-        # explicit ``limit`` / ``limit_mode="rect"`` (or pre-clip buildings
-        # to the working area).  Follow-up for true metro scale: tiled
-        # enclosure build with halo certification, the same pattern as
-        # ``morphological_tessellation_distributed``.
-        n_b = building_verts.select("poly_id").dropDuplicates().count()
-        if n_b > union_driver_cap:
+        # DISTRIBUTED exact pre-merge before the driver gather (round 5):
+        # buffered building rects sharing the SAME y-extent whose buffered
+        # x-intervals overlap union into one rectangle — a window cummax
+        # interval merge per (y0, y1) group, the classic shape of rowed
+        # housing data (and of real city blocks), collapsing n buildings
+        # to the number of aligned runs with the union region UNCHANGED.
+        # The remaining arrangement is a DRIVER pass over runs ∪ barriers
+        # (like momepy's in-process enclosures) — capped LOUDLY; past the
+        # cap callers pass an explicit ``limit`` / ``limit_mode="rect"``
+        # (or pre-clip buildings to the working area).  Follow-up for true
+        # metro scale: tiled enclosure build with halo certification, the
+        # ``morphological_tessellation_distributed`` pattern.
+        from pyspark.sql import Window
+        b = float(buffer)
+        bb = (building_verts.where(F.col("ring") == 0).groupBy("poly_id")
+              .agg((F.min("x") - b).alias("bx0"), (F.min("y") - b).alias("by0"),
+                   (F.max("x") + b).alias("bx1"), (F.max("y") + b).alias("by1")))
+        w = Window.partitionBy("by0", "by1").orderBy("bx0")
+        merged = (bb
+                  .withColumn("_hi", F.max("bx1").over(
+                      w.rowsBetween(Window.unboundedPreceding, -1)))
+                  .withColumn("_new", (F.col("_hi").isNull())
+                              | (F.col("bx0") > F.col("_hi")))
+                  .withColumn("_grp", F.sum(F.col("_new").cast("int")).over(w))
+                  .groupBy("by0", "by1", "_grp")
+                  .agg(F.min("bx0").alias("bx0"), F.max("bx1").alias("bx1")))
+        n_runs = merged.count()
+        if n_runs > union_driver_cap:
             raise ValueError(
-                f"buffered-union enclosure limit gathers {n_b} building "
-                f"bboxes at the driver (> union_driver_cap="
+                f"buffered-union enclosure limit gathers {n_runs} merged "
+                f"building runs at the driver (> union_driver_cap="
                 f"{union_driver_cap}); pass an explicit limit, "
                 f"limit_mode='rect', or raise the cap")
-        bbs = (building_verts.where(F.col("ring") == 0).groupBy("poly_id")
-               .agg(F.min("x").alias("x0"), F.min("y").alias("y0"),
-                    F.max("x").alias("x1"), F.max("y").alias("y1"))
-               .collect())
-        bboxes = np.array([[r["x0"], r["y0"], r["x1"], r["y1"]]
-                           for r in bbs]) if bbs else np.empty((0, 4))
-        shapes = buffered_union_shapes(bboxes, segs, buffer)
+        runs = merged.collect()
+        shapes = [np.array([[r["bx0"], r["by0"]], [r["bx1"], r["by0"]],
+                            [r["bx1"], r["by1"]], [r["bx0"], r["by1"]]])
+                  for r in runs]
+        shapes += buffered_union_shapes(np.empty((0, 4)), segs, buffer)
         encl = build_enclosures_limited(segs, shapes)
     else:
         if limit is None:

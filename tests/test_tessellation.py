@@ -347,10 +347,11 @@ def test_grid_snap_rung_boundary_hugging(monkeypatch):
 
 def test_union_driver_cap_loud(spark, grid_buildings):
     """The union-limit enclosure build must refuse loudly past its driver
-    cap instead of degrading into a quadratic driver arrangement."""
+    cap (counted in MERGED aligned runs, round 5) instead of degrading
+    into a quadratic driver arrangement."""
     from city2graph_spark.operators.tessellation import enclosed_tessellation
     mv = spark.createDataFrame(
         [(0, 0, -100.0, -100.0), (0, 1, 400.0, -100.0)],
         "movement_id long, seq long, x double, y double")
     with pytest.raises(ValueError, match="union_driver_cap"):
-        enclosed_tessellation(grid_buildings, mv, union_driver_cap=3)
+        enclosed_tessellation(grid_buildings, mv, union_driver_cap=2)
