@@ -100,7 +100,13 @@ def node_segments(segs: np.ndarray, *, grid: float = 1e-12) -> np.ndarray:
     # are the only ones whose bboxes can overlap beyond one cell apart —
     # O(m·overlap), not O(m²), and the exact parameters below are the
     # SAME expressions as always, so the output is unchanged.
-    cs = max(float(np.median(np.maximum(bx1 - bx0, by1 - by0))), g, 1e-12)
+    # cell = median bbox extent, floored at domain/1024 (a mix of micro
+    # edges and one long edge must not explode the long edge into
+    # domain/median cells) and at the snap grid
+    ext = max(float(bx1.max() - bx0.min()), float(by1.max() - by0.min()),
+              1e-9)
+    cs = max(float(np.median(np.maximum(bx1 - bx0, by1 - by0))),
+             ext / 1024.0, g, 1e-12)
     cell_i, cell_x, cell_y = [], [], []
     for i in range(m):
         cx0, cx1 = int(np.floor(bx0[i] / cs)), int(np.floor(bx1[i] / cs))
