@@ -111,16 +111,22 @@ def _hardware_ceiling(reps: int = 2) -> dict:
     engine's distance/GEMM kernels) cannot scale 4× from 8→32 workers here.
     A real N → 4N *executor* cluster multiplies memory bandwidth with
     executor count — the property this sandbox cannot emulate."""
+    # spawn context: the parent has long since imported numpy (and
+    # initialized its BLAS pool), so forked workers would inherit that
+    # state and the env vars below could not enforce single-threaded BLAS.
+    # Spawned workers start a fresh interpreter, inherit the env, and
+    # import numpy inside the task — actually single-threaded.
     import multiprocessing as mp
     os.environ["OPENBLAS_NUM_THREADS"] = "1"
     os.environ["OMP_NUM_THREADS"] = "1"
+    ctx = mp.get_context("spawn")
 
     lv = (2, 4, 8, 16, 32)
     best = {(k, n): 0.0 for k in ("cpu", "bw") for n in lv}
     for _ in range(max(reps, 3)):
         for kind, task in (("cpu", _cpu_task), ("bw", _bw_task)):
             for n in lv:
-                with mp.Pool(n) as p:
+                with ctx.Pool(n) as p:
                     t0 = time.time()
                     p.map(task, range(n * 2))
                     best[(kind, n)] = max(best[(kind, n)],
@@ -139,14 +145,17 @@ def _hardware_ceiling(reps: int = 2) -> dict:
 def _light_calibration() -> dict:
     """One-rep bandwidth-ceiling probe at 8 and 32 workers (~10 s): the
     same-session calibration columns for the default bench JSON line."""
+    # spawn (not fork): see _hardware_ceiling — forked workers inherit the
+    # parent's initialized BLAS pool and ignore the env vars.
     import multiprocessing as mp
     os.environ["OPENBLAS_NUM_THREADS"] = "1"
     os.environ["OMP_NUM_THREADS"] = "1"
+    ctx = mp.get_context("spawn")
     thr = {}
     for n in (8, 32):
         best = 0.0
         for _ in range(2):
-            with mp.Pool(n) as p:
+            with ctx.Pool(n) as p:
                 t0 = time.time()
                 p.map(_bw_task, range(n * 2))
                 best = max(best, n * 2 / (time.time() - t0))

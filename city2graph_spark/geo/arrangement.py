@@ -54,7 +54,8 @@ def clip_segments_to_rect(segs: np.ndarray, rect: tuple[float, float, float, flo
     return out[keep]
 
 
-def node_segments(segs: np.ndarray, *, grid: float = 1e-12) -> np.ndarray:
+def node_segments(segs: np.ndarray, *, grid: float = 1e-12,
+                  scale: float | None = None) -> np.ndarray:
     """Split segments at all pairwise intersections (proper crossings and
     T-junctions).  Returns (k,4) noded segments with coordinates snapped to
     ``grid`` (RELATIVE to the coordinate scale) so coincident cut points
@@ -71,8 +72,12 @@ def node_segments(segs: np.ndarray, *, grid: float = 1e-12) -> np.ndarray:
     m = len(segs)
     if m == 0:
         return segs.reshape(0, 4)
-    scale = max(1.0, float(np.abs(segs).max()))
-    g = grid * scale
+    # an explicit ``scale`` pins the snap grid independently of this call's
+    # input — REQUIRED when arrangements of different subsets (per-tile
+    # tasks) must produce bit-identical coordinates for shared points
+    if scale is None:
+        scale = max(1.0, float(np.abs(segs).max()))
+    g = grid * float(scale)
     # per-segment cut lists of (t, x, y): every crossing stores ONE
     # canonical snapped point shared by both segments (round 5 — computing
     # the point parametrically per segment and snapping independently can
@@ -129,19 +134,32 @@ def node_segments(segs: np.ndarray, *, grid: float = 1e-12) -> np.ndarray:
         if k < 2:
             continue
         ids = ci_s[s0:e0]
-        A = np.repeat(ids, k)
-        B = np.tile(ids, k)
-        sel = A < B
-        pair_a.append(A[sel])
-        pair_b.append(B[sel])
+        # fixed-size chunked emission: a degenerate cs (one outlier
+        # coordinate inflating ext collapses every real segment into O(1)
+        # cells) must not materialize O(k²) int64 temporaries in a single
+        # repeat/tile allocation.  Blocks are capped at ~16M elements
+        # (~128 MB int64) and the bbox-overlap filter runs inside the
+        # block, so only true candidates survive to the concat; filtering
+        # before the cross-cell np.unique dedupe commutes with it, so the
+        # final pair set is identical to the one-shot path.
+        chunk = max(1, (1 << 24) // k)
+        for c0 in range(0, k, chunk):
+            sub = ids[c0:c0 + chunk]
+            A = np.repeat(sub, k)
+            B = np.tile(ids, len(sub))
+            sel = A < B
+            A, B = A[sel], B[sel]
+            if not len(A):
+                continue
+            ov = ((bx0[A] <= bx1[B]) & (bx1[A] >= bx0[B])
+                  & (by0[A] <= by1[B]) & (by1[A] >= by0[B]))
+            pair_a.append(A[ov])
+            pair_b.append(B[ov])
     if pair_a:
         pa = np.concatenate(pair_a)
         pb = np.concatenate(pair_b)
         pk = np.unique(pa * np.int64(m) + pb)   # dedupe multi-cell pairs
         pa, pb = pk // m, pk % m
-        ov = ((bx0[pa] <= bx1[pb]) & (bx1[pa] >= bx0[pb])
-              & (by0[pa] <= by1[pb]) & (by1[pa] >= by0[pb]))
-        pa, pb = pa[ov], pb[ov]
         R = r[pa]
         S = r[pb]
         d = R[:, 0] * S[:, 1] - R[:, 1] * S[:, 0]

@@ -237,12 +237,19 @@ def place_to_movement_graph(place_verts: DataFrame, mv: DataFrame, *,
                 bx = grp["bx"].to_numpy(); by = grp["by"].to_numpy()
                 n_e, n_c = len(ex1), len(ax)
                 dmin = np.full(n_c, np.inf)
-                for i in range(n_e):
+                # one broadcast (edges × candidates) block through the pair
+                # kernel instead of a per-edge Python loop; blocks cap the
+                # temporaries at ~4M pairs for pathological places
+                blk = max(1, (1 << 22) // max(n_c, 1))
+                for s in range(0, n_e, blk):
+                    k = min(blk, n_e - s)
+                    e = slice(s, s + k)
                     d = segment_segment_distance(
-                        np.full(n_c, ex1[i]), np.full(n_c, ey1[i]),
-                        np.full(n_c, ex2[i]), np.full(n_c, ey2[i]),
-                        ax, ay, bx, by)
-                    dmin = np.minimum(dmin, d)
+                        np.repeat(ex1[e], n_c), np.repeat(ey1[e], n_c),
+                        np.repeat(ex2[e], n_c), np.repeat(ey2[e], n_c),
+                        np.tile(ax, k), np.tile(ay, k),
+                        np.tile(bx, k), np.tile(by, k))
+                    dmin = np.minimum(dmin, d.reshape(k, n_c).min(axis=0))
                 inside = points_in_polygon(ax, ay, rings)
                 dmin = np.where(inside, 0.0, dmin)
                 rows.append(pd.DataFrame({

@@ -407,6 +407,13 @@ def build_enclosures_limited(barrier_segs: np.ndarray,
     ``buffer`` from anything) classify as outside and vanish — the
     reference's "callers must clip" note handled structurally.
 
+    ``limit_shapes`` rings are expected CONVEX (every shape this module
+    generates — building bbox rects, mitered barrier capsules — is); the
+    fast path tests faces with per-edge half-planes, which is only valid
+    for convex rings.  Non-convex rings are detected by a cross-product
+    sign check and routed through the general even-odd
+    ``points_covered_by_ring`` test, so coverage stays correct either way.
+
     Returns [(eid, exterior ring)] in the same deterministic
     (minx, miny, area) order as :func:`build_enclosures`."""
     from ..geo.arrangement import node_segments, polygonize
@@ -459,13 +466,24 @@ def build_enclosures_limited(barrier_segs: np.ndarray,
             continue
         px, py = reps[idx, 0], reps[idx, 1]
         sx, sy = sh[:, 0], sh[:, 1]
-        orient = np.sign(np.sum(sx * np.roll(sy, -1) - np.roll(sx, -1) * sy))
-        inside = np.ones(len(idx), dtype=bool)
-        for i in range(len(sh)):
-            ax, ay = sh[i]
-            bx, by = sh[(i + 1) % len(sh)]
-            inside &= orient * ((bx - ax) * (py - ay)
-                                - (by - ay) * (px - ax)) >= 0.0
+        # cheap convexity check: successive edge cross products must not
+        # change sign.  Our own shapes (building rects, mitered capsules)
+        # always pass; a caller-supplied NON-convex ring falls back to the
+        # general even-odd covered_by test instead of silently dropping
+        # faces outside some half-plane.
+        ex, ey = np.roll(sx, -1) - sx, np.roll(sy, -1) - sy
+        cross = ex * np.roll(ey, -1) - ey * np.roll(ex, -1)
+        if np.any(cross > 1e-12) and np.any(cross < -1e-12):
+            inside = points_covered_by_ring(px, py, sh[:, 0], sh[:, 1])
+        else:
+            orient = np.sign(np.sum(sx * np.roll(sy, -1)
+                                    - np.roll(sx, -1) * sy))
+            inside = np.ones(len(idx), dtype=bool)
+            for i in range(len(sh)):
+                ax, ay = sh[i]
+                bx, by = sh[(i + 1) % len(sh)]
+                inside &= orient * ((bx - ax) * (py - ay)
+                                    - (by - ay) * (px - ax)) >= 0.0
         covered[idx[inside]] = True
     kept = [faces[i] for i in np.nonzero(covered)[0]]
     if not kept:
@@ -711,7 +729,16 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
     their smallest containing face by a vectorized PIP pass, and the
     per-enclosure Voronoi runs as ``groupBy(eid).applyInPandas`` — the
     natural partition key, since enclosures tile the city and each is
-    independent.  At 100 TB the building table never gathers anywhere.
+    independent.  With an explicit ``limit`` or ``limit_mode="rect"`` the
+    building table never gathers anywhere at any scale.  **The DEFAULT
+    (``limit_mode="union"``, no ``limit``) is different**: deriving the
+    reference's buffered-union limit gathers the distributed pre-merged
+    building runs at the driver for the arrangement pass, bounded by
+    ``union_driver_cap`` (default 20 000 merged runs) — past the cap it
+    raises loudly rather than degrade.  Metro-scale (~10⁶ unaligned
+    buildings) callers must pass an explicit ``limit``,
+    ``limit_mode="rect"``, or tile the input; this is a behavior change
+    from rounds ≤4 where "rect" was the default (see README).
 
     ``barriers_mv``: movement polyline vertex table (movement_id, seq, x, y).
     ``limit``: (xmin, ymin, xmax, ymax) enclosure boundary; an explicit
