@@ -127,8 +127,11 @@ def _bw_once(pts: np.ndarray, super_scale: float) -> list[tuple[int, int, int]]:
         e = np.concatenate([bad_tris[:, [0, 1]], bad_tris[:, [1, 2]],
                             bad_tris[:, [2, 0]]])
         key = np.sort(e, axis=1)
-        uniq, idx, cnt = np.unique(key, axis=0, return_index=True,
-                                   return_counts=True)
+        # 1-D integer encode of the sorted pair: same lexicographic order
+        # and first-occurrence indices as np.unique(key, axis=0) (both use
+        # a stable mergesort), ~10× cheaper than the axis-0 structured path
+        k1 = key[:, 0] * np.int64(len(P) + 1) + key[:, 1]
+        _, idx, cnt = np.unique(k1, return_index=True, return_counts=True)
         boundary = e[idx[cnt == 1]]
         new = np.column_stack([boundary,
                                np.full(len(boundary), ip, dtype=np.int64)])
@@ -142,17 +145,25 @@ def _bw_once(pts: np.ndarray, super_scale: float) -> list[tuple[int, int, int]]:
 
 
 def _circum(P: np.ndarray, tris: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    a, b, c = P[tris[:, 0]], P[tris[:, 1]], P[tris[:, 2]]
+    # one gather + component slices (identical arithmetic to the previous
+    # per-vertex fancy indexing + transpose unpack, just fewer numpy calls
+    # — this sits on the Bowyer-Watson per-insert hot path)
+    T = P[tris]
+    ax, ay = T[:, 0, 0], T[:, 0, 1]
     # shift by a for conditioning
-    bx, by = (b - a).T
-    cx, cy = (c - a).T
+    bx = T[:, 1, 0] - ax
+    by = T[:, 1, 1] - ay
+    cx = T[:, 2, 0] - ax
+    cy = T[:, 2, 1] - ay
     d = 2.0 * (bx * cy - by * cx)
     d = np.where(d == 0.0, 1e-300, d)
     b2 = bx * bx + by * by
     c2 = cx * cx + cy * cy
     ux = (cy * b2 - by * c2) / d
     uy = (bx * c2 - cx * b2) / d
-    cc = np.column_stack([ux + a[:, 0], uy + a[:, 1]])
+    cc = np.empty((len(tris), 2))
+    cc[:, 0] = ux + ax
+    cc[:, 1] = uy + ay
     rr = ux * ux + uy * uy
     return cc, rr
 

@@ -7,6 +7,8 @@ area/centroid, point-to-segment distance/projection.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 
@@ -149,6 +151,105 @@ def ring_rep_point(ring: np.ndarray) -> tuple[float, float]:
     if len(xs) < 2:
         return float(ring[:, 0].mean()), float(ring[:, 1].mean())
     return float(0.5 * (xs[0] + xs[1])), float(ym)
+
+
+def face_edge_probe(ring: np.ndarray) -> tuple[float, float, float, float]:
+    """(mx, my, nx, ny): midpoint of the ring's longest edge plus the UNIT
+    interior-side normal (CCW rings — interior on the left of traversal).
+
+    This is the EXACT face-classification anchor for coverage tests
+    against a shape arrangement: a ``ring_rep_point`` may land inside a
+    NESTED ISLAND face of a no-holes polygonizer (classifying the outer
+    face by whatever covers the island), and any offset-by-epsilon probe
+    can jump a thinner-than-epsilon gap into a neighboring region.  The
+    (midpoint, side) pair avoids both: post-noding, a shape boundary
+    passes through an edge MIDpoint only by lying ALONG the edge (crossings
+    are split to endpoints), so coverage of the open side is decided
+    exactly — strictly-inside/outside when the midpoint is off the shape
+    boundary, a normal-direction sign test when it is on it.  Coverage is
+    constant over a face, so any boundary edge gives the same answer —
+    the driver pass (whole faces) and the tiled pass (clipped pieces)
+    classify identically by construction (operators/enclosures.py)."""
+    r = np.asarray(ring, dtype=np.float64)
+    n = len(r)
+    nxt = np.roll(r, -1, axis=0)
+    ex, ey = nxt[:, 0] - r[:, 0], nxt[:, 1] - r[:, 1]
+    L = np.hypot(ex, ey)
+    i = int(np.argmax(L))
+    if L[i] <= 0.0:
+        px, py = ring_rep_point(r)
+        return px, py, 0.0, 0.0
+    mx = r[i, 0] + 0.5 * ex[i]
+    my = r[i, 1] + 0.5 * ey[i]
+    return mx, my, -ey[i] / L[i], ex[i] / L[i]
+
+
+def probes_covered_by_convex(mx: np.ndarray, my: np.ndarray,
+                             nx: np.ndarray, ny: np.ndarray,
+                             shape: np.ndarray, tol: float) -> np.ndarray:
+    """Exact side-coverage of face probes (``face_edge_probe``) by ONE
+    convex ring: per probe, the signed inward distance to every shape edge;
+    min > tol ⇒ midpoint strictly inside (both sides covered); |min| ≤ tol
+    ⇒ midpoint on the shape boundary ⇒ covered iff the face's interior
+    normal points into the shape (sign of the normals' dot product —
+    post-noding the two edges are collinear, so the dot is ±1)."""
+    sx, sy = shape[:, 0], shape[:, 1]
+    orient = float(np.sign(np.sum(sx * np.roll(sy, -1)
+                                  - np.roll(sx, -1) * sy))) or 1.0
+    k = len(shape)
+    m = len(mx)
+    sd = np.empty((k, m))
+    en = np.empty((k, 2))
+    for i in range(k):
+        ax, ay = shape[i]
+        bx, by = shape[(i + 1) % k]
+        ll = math.hypot(bx - ax, by - ay)
+        if ll <= 0.0:
+            sd[i] = np.inf
+            en[i] = (0.0, 0.0)
+            continue
+        sd[i] = orient * ((bx - ax) * (my - ay)
+                          - (by - ay) * (mx - ax)) / ll
+        # interior-side unit normal of this shape edge
+        en[i] = (-orient * (by - ay) / ll, orient * (bx - ax) / ll)
+    jmin = np.argmin(sd, axis=0)
+    smin = sd[jmin, np.arange(m)]
+    inside = smin > tol
+    onb = np.abs(smin) <= tol
+    dot = en[jmin, 0] * nx + en[jmin, 1] * ny
+    return inside | (onb & (dot > 0.0))
+
+
+def probes_covered_by_ring(mx: np.ndarray, my: np.ndarray,
+                           nx: np.ndarray, ny: np.ndarray,
+                           shape: np.ndarray, tol: float) -> np.ndarray:
+    """Generic (possibly NON-convex) twin of ``probes_covered_by_convex``:
+    nearest true edge distance decides the on-boundary branch (normal-sign
+    test against that edge's orientation-signed interior normal); probes
+    off the boundary use the even-odd strict-within test."""
+    sx, sy = shape[:, 0], shape[:, 1]
+    orient = float(np.sign(np.sum(sx * np.roll(sy, -1)
+                                  - np.roll(sx, -1) * sy))) or 1.0
+    k = len(shape)
+    m = len(mx)
+    d = np.full((k, m), np.inf)
+    en = np.zeros((k, 2))
+    for i in range(k):
+        ax, ay = shape[i]
+        bx, by = shape[(i + 1) % k]
+        ll = math.hypot(bx - ax, by - ay)
+        if ll <= 0.0:
+            continue
+        d[i], _ = point_segment_distance(
+            mx, my, np.full(m, ax), np.full(m, ay),
+            np.full(m, bx), np.full(m, by))
+        en[i] = (-orient * (by - ay) / ll, orient * (bx - ax) / ll)
+    jmin = np.argmin(d, axis=0)
+    dmin = d[jmin, np.arange(m)]
+    onb = dmin <= tol
+    dot = en[jmin, 0] * nx + en[jmin, 1] * ny
+    inside = points_within_ring(mx, my, sx, sy)
+    return (inside & ~onb) | (onb & (dot > 0.0))
 
 
 def ring_signs(rings: list[np.ndarray]) -> np.ndarray:

@@ -170,11 +170,19 @@ def group_nodes(verts: DataFrame, points: DataFrame, *,
 
     # ALL rings ride along (ring, seq) sorted — holes are first-class:
     # a point in a courtyard hole is NOT covered (even-odd composition in
-    # geo.kernels.points_in_polygon; reference sjoin uses full geometry)
+    # geo.kernels.points_in_polygon; reference sjoin uses full geometry).
+    # Candidates aggregate to ONE row per polygon before the vertex join:
+    # joining _verts onto every (point, polygon) row ships a big polygon's
+    # ring array once PER CANDIDATE — at metro scale (enclosure frames
+    # with ~10³ vertices × ~10² candidate points each) that made single
+    # 64k-row Arrow batches multi-GB and OOMed the executor heap.  One
+    # row per polygon bounds the payload by |verts| + |cands|.
     vlist = verts.groupBy("poly_id").agg(
         F.sort_array(F.collect_list(F.struct("ring", "seq", "x", "y")))
          .alias("_verts"))
-    cand = cand.join(vlist, "poly_id")
+    cand = (cand.groupBy("poly_id")
+            .agg(F.collect_list(F.struct("node_id", "x", "y")).alias("_pts"))
+            .join(vlist, "poly_id"))
 
     # reference proximity.py:2579-2595 accepts any gpd.sjoin predicate; for
     # POINT-vs-polygon joins the DE-9IM predicates collapse onto two
@@ -197,19 +205,21 @@ def group_nodes(verts: DataFrame, points: DataFrame, *,
             if len(pdf) == 0:
                 continue
             out = []
-            for pid, grp in pdf.groupby("poly_id", sort=False):
-                vs = grp["_verts"].iloc[0]
+            for _, row in pdf.iterrows():
+                vs = row["_verts"]
                 rid = np.array([v["ring"] for v in vs])
                 vx = np.array([v["x"] for v in vs])
                 vy = np.array([v["y"] for v in vs])
                 rings = [(vx[rid == r], vy[rid == r])
                          for r in np.unique(rid)]
-                px = grp["x"].to_numpy()
-                py = grp["y"].to_numpy()
+                pts_l = row["_pts"]
+                px = np.array([p["x"] for p in pts_l])
+                py = np.array([p["y"] for p in pts_l])
+                nid = np.array([p["node_id"] for p in pts_l])
                 m = points_in_polygon(px, py, rings, mode=pred)
                 if m.any():
                     out.append(pd.DataFrame({
-                        "poly_id": pid, "node_id": grp["node_id"].to_numpy()[m],
+                        "poly_id": row["poly_id"], "node_id": nid[m],
                         "x": px[m], "y": py[m]}))
             if out:
                 yield pd.concat(out)

@@ -356,30 +356,81 @@ def _rep_point(ring: np.ndarray) -> tuple[float, float]:
     return ring_rep_point(ring)
 
 
+def arc_rounded_rect(x0: float, y0: float, x1: float, y1: float,
+                     b: float, k: int) -> np.ndarray:
+    """CCW convex polygon: the (x0,y0)-(x1,y1) rectangle dilated by ``b``
+    with quarter-circle corner arcs approximated by ``k`` chords each —
+    the Minkowski sum of the rectangle with GEOS's inscribed regular arc
+    polygon (``quad_segs=k``), so it matches the reference's round-join
+    buffer of the bbox vertex-for-vertex."""
+    corners = [((x1, y0), -0.5 * np.pi), ((x1, y1), 0.0),
+               ((x0, y1), 0.5 * np.pi), ((x0, y0), np.pi)]
+    pts = []
+    for (cx, cy), a0 in corners:
+        ang = a0 + 0.5 * np.pi * np.arange(k + 1) / k
+        pts.append(np.column_stack([cx + b * np.cos(ang),
+                                    cy + b * np.sin(ang)]))
+    return np.vstack(pts)
+
+
+def _arc_capsule(ax: float, ay: float, bx: float, by: float,
+                 b: float, k: int) -> np.ndarray:
+    """Convex stadium: the segment dilated by ``b`` with semicircle caps
+    of ``2k`` chords each (GEOS round-cap buffer, ``quad_segs=k``)."""
+    ex, ey = bx - ax, by - ay
+    ln = float(np.hypot(ex, ey))
+    if ln == 0.0:
+        ang = 2.0 * np.pi * np.arange(4 * k) / (4 * k)
+        return np.column_stack([ax + b * np.cos(ang), ay + b * np.sin(ang)])
+    th = float(np.arctan2(ey, ex))
+    ang_b = th - 0.5 * np.pi + np.pi * np.arange(2 * k + 1) / (2 * k)
+    ang_a = th + 0.5 * np.pi + np.pi * np.arange(2 * k + 1) / (2 * k)
+    return np.vstack([
+        np.column_stack([bx + b * np.cos(ang_b), by + b * np.sin(ang_b)]),
+        np.column_stack([ax + b * np.cos(ang_a), ay + b * np.sin(ang_a)])])
+
+
 def buffered_union_shapes(building_bboxes: np.ndarray,
                           barrier_segs: np.ndarray,
-                          buffer: float) -> list[np.ndarray]:
+                          buffer: float,
+                          arc_segments: int = 0) -> list[np.ndarray]:
     """Buffered geometries whose union is the enclosure limit (reference
     `_compute_enclosure_limit`, utils/spatial.py:2922-2962: buildings ∪
     barriers each buffered 100 m, then unioned — the limit follows the
     built fabric instead of a hull, so street-front Voronoi cells don't
     stretch into empty land as needles).
 
-    Documented approximation vs GEOS round buffers: each building's bbox
-    expanded by ``buffer`` (rectangle ⊇ the round buffer except the four
-    corner arcs) and each barrier segment's square-cap mitered rectangle
-    (⊇ the round capsule except the cap arcs) — convex shapes only, so the
-    union arrangement stays exact and the deviation is bounded by
-    (√2−1)·buffer at corners, always OVER-covering (never excludes a
-    building the reference would keep)."""
+    ``arc_segments=0`` (default): each building's bbox expanded by
+    ``buffer`` (rectangle ⊇ the round buffer except the four corner arcs)
+    and each barrier segment's square-cap mitered rectangle (⊇ the round
+    capsule except the cap arcs) — convex shapes only, so the union
+    arrangement stays exact and the deviation vs GEOS round buffers is
+    bounded by (√2−1)·buffer at corners, always OVER-covering (never
+    excludes a building the reference would keep).
+
+    ``arc_segments=k>0``: round-buffer parity mode — quarter/semi-circle
+    arcs approximated by ``k`` chords per quadrant (GEOS ``quad_segs``,
+    reference default 8), still convex, so every downstream path (half-
+    plane coverage, arrangement, tiled build) is unchanged.  Measured on
+    the street-grid fixture (tests/test_tessellation.py::
+    test_round_buffer_parity): k=8 union area within 0.2% of the true
+    round-buffer union; the mitered default over-covers by the corner-arc
+    residue only."""
     shapes: list[np.ndarray] = []
     b = float(buffer)
+    k = int(arc_segments)
     for x0, y0, x1, y1 in np.asarray(building_bboxes,
                                      dtype=np.float64).reshape(-1, 4):
-        shapes.append(np.array([[x0 - b, y0 - b], [x1 + b, y0 - b],
-                                [x1 + b, y1 + b], [x0 - b, y1 + b]]))
+        if k > 0:
+            shapes.append(arc_rounded_rect(x0, y0, x1, y1, b, k))
+        else:
+            shapes.append(np.array([[x0 - b, y0 - b], [x1 + b, y0 - b],
+                                    [x1 + b, y1 + b], [x0 - b, y1 + b]]))
     for ax, ay, bx, by in np.asarray(barrier_segs,
                                      dtype=np.float64).reshape(-1, 4):
+        if k > 0:
+            shapes.append(_arc_capsule(ax, ay, bx, by, b, k))
+            continue
         ex, ey = bx - ax, by - ay
         ln = float(np.hypot(ex, ey))
         if ln == 0.0:
@@ -411,13 +462,15 @@ def build_enclosures_limited(barrier_segs: np.ndarray,
     generates — building bbox rects, mitered barrier capsules — is); the
     fast path tests faces with per-edge half-planes, which is only valid
     for convex rings.  Non-convex rings are detected by a cross-product
-    sign check and routed through the general even-odd
-    ``points_covered_by_ring`` test, so coverage stays correct either way.
+    sign check and routed through the general even-odd probe test
+    (``probes_covered_by_ring``), so coverage stays correct either way.
 
     Returns [(eid, exterior ring)] in the same deterministic
     (minx, miny, area) order as :func:`build_enclosures`."""
     from ..geo.arrangement import node_segments, polygonize
-    from ..geo.kernels import point_segment_distance, points_covered_by_ring
+    from ..geo.kernels import (face_edge_probe, point_segment_distance,
+                               probes_covered_by_convex,
+                               probes_covered_by_ring)
     from ..geo.voronoi import dissolve_cells
     segs = np.asarray(barrier_segs, dtype=np.float64).reshape(-1, 4)
     bsegs = []
@@ -433,12 +486,19 @@ def build_enclosures_limited(barrier_segs: np.ndarray,
     if not faces:
         return []
     # inside-union test, bucketed (round 5): every limit shape is a CONVEX
-    # quad by construction (building bbox rect / mitered barrier capsule),
-    # so covered_by reduces to four orientation-signed half-plane tests;
-    # face rep points bucket into a shape-sized grid and each shape tests
-    # only the points under its own bbox — O(points·overlap) instead of
+    # quad by construction (building bbox rect / mitered barrier capsule);
+    # probe anchors bucket into a shape-sized grid and each shape tests
+    # only the anchors under its own bbox — O(points·overlap) instead of
     # O(points·shapes).
-    reps = np.array([_rep_point(ring) for ring in faces])
+    # round 6: classification is EXACT (midpoint, interior-side) probes
+    # (geo.kernels.face_edge_probe) — a ring rep point could land inside a
+    # NESTED ISLAND face and keep an uncovered block interior by whatever
+    # covers the island, and any epsilon-offset point can jump a
+    # thinner-than-epsilon gap; the side test cannot do either, and it
+    # classifies a face and any tile-clipped PIECE of it identically —
+    # the property the distributed build (operators/enclosures.py) needs.
+    tol_c = 1e-9 * max(float(np.abs(allsegs).max()), 1.0)
+    reps = np.array([face_edge_probe(ring) for ring in faces])
     covered = np.zeros(len(faces), dtype=bool)
     sh_arr = [np.asarray(sh, dtype=np.float64) for sh in limit_shapes]
     cs = max(float(np.median([sh[:, 0].max() - sh[:, 0].min()
@@ -448,8 +508,8 @@ def build_enclosures_limited(barrier_segs: np.ndarray,
     order = np.lexsort((gy, gx))
     gkey = gx[order] * (1 << 32) + gy[order]
     for sh in sh_arr:
-        x0, x1 = sh[:, 0].min(), sh[:, 0].max()
-        y0, y1 = sh[:, 1].min(), sh[:, 1].max()
+        x0, x1 = sh[:, 0].min() - tol_c, sh[:, 0].max() + tol_c
+        y0, y1 = sh[:, 1].min() - tol_c, sh[:, 1].max() + tol_c
         cand = []
         for cx in range(int(np.floor(x0 / cs)), int(np.floor(x1 / cs)) + 1):
             lo = np.searchsorted(gkey, cx * (1 << 32)
@@ -464,26 +524,17 @@ def build_enclosures_limited(barrier_segs: np.ndarray,
         idx = idx[~covered[idx]]
         if len(idx) == 0:
             continue
-        px, py = reps[idx, 0], reps[idx, 1]
-        sx, sy = sh[:, 0], sh[:, 1]
-        # cheap convexity check: successive edge cross products must not
-        # change sign.  Our own shapes (building rects, mitered capsules)
-        # always pass; a caller-supplied NON-convex ring falls back to the
-        # general even-odd covered_by test instead of silently dropping
-        # faces outside some half-plane.
-        ex, ey = np.roll(sx, -1) - sx, np.roll(sy, -1) - sy
-        cross = ex * np.roll(ey, -1) - ey * np.roll(ex, -1)
-        if np.any(cross > 1e-12) and np.any(cross < -1e-12):
-            inside = points_covered_by_ring(px, py, sh[:, 0], sh[:, 1])
-        else:
-            orient = np.sign(np.sum(sx * np.roll(sy, -1)
-                                    - np.roll(sx, -1) * sy))
-            inside = np.ones(len(idx), dtype=bool)
-            for i in range(len(sh)):
-                ax, ay = sh[i]
-                bx, by = sh[(i + 1) % len(sh)]
-                inside &= orient * ((bx - ax) * (py - ay)
-                                    - (by - ay) * (px - ax)) >= 0.0
+        # convexity check: our own shapes (rects, mitered capsules) always
+        # pass the fast path; caller-supplied non-convex rings route
+        # through the generic even-odd probe test
+        _ex = np.roll(sh[:, 0], -1) - sh[:, 0]
+        _ey = np.roll(sh[:, 1], -1) - sh[:, 1]
+        _cr = _ex * np.roll(_ey, -1) - _ey * np.roll(_ex, -1)
+        fn = (probes_covered_by_ring
+              if np.any(_cr > 1e-12) and np.any(_cr < -1e-12)
+              else probes_covered_by_convex)
+        inside = fn(reps[idx, 0], reps[idx, 1], reps[idx, 2], reps[idx, 3],
+                    sh, tol_c)
         covered[idx[inside]] = True
     kept = [faces[i] for i in np.nonzero(covered)[0]]
     if not kept:
@@ -643,6 +694,7 @@ def _subtract_holes(rl: list[np.ndarray], holes: list[np.ndarray]
 # 100× stronger jitter (the reference's _jitter rung).
 _RETRY_LADDER = ({}, {"grid_size": 1e-3}, {"jitter_eps": 1e-4})
 _OVERFILL_TOLERANCE = 1.05   # reference _overfilled_enclosures tolerance
+_MAX_VORONOI_SAMPLES = 32_000   # per-enclosure boundary-site bound
 
 
 def _tessellate_one_enclosure(ering: np.ndarray, pdf, segment: float,
@@ -686,8 +738,27 @@ def _tessellate_one_enclosure(ering: np.ndarray, pdf, segment: float,
     if len(pids) == 1:
         return [(int(pids[0]), [ering, *holes])]
     earea = _rings_area([ering, *holes])
+    # giant-enclosure sample bound: a domain-wrapping outer enclosure of
+    # an open-field input can hold thousands of buildings; boundary
+    # sampling at the default half-metre then yields 10⁵⁺ sites and the
+    # pairwise half-plane Voronoi is quadratic in them.  Coarsen the
+    # sampling step until the site count fits (ring CORNERS always stay —
+    # _sample_boundary keeps vertices), which preserves the partition
+    # semantics at a coarser cell-boundary resolution; past the corner
+    # bound (≫ _MAX_VORONOI_SAMPLES/4 buildings in ONE enclosure) degrade
+    # to the reference's footprint fallback (spatial.py:2657-2668) like
+    # any other unpartitionable enclosure.
+    seg_eff = float(segment)
+    S0, _ = _building_samples(pdf, seg_eff, shrink)
+    for _ in range(8):
+        if len(S0) <= _MAX_VORONOI_SAMPLES:
+            break
+        seg_eff *= max(2.0, len(S0) / float(_MAX_VORONOI_SAMPLES))
+        S0, _ = _building_samples(pdf, seg_eff, shrink)
+    if len(S0) > _MAX_VORONOI_SAMPLES:
+        return None
     for rung in _RETRY_LADDER:
-        S, O = _building_samples(pdf, segment, shrink,
+        S, O = _building_samples(pdf, seg_eff, shrink,
                                  jitter_eps=rung.get("jitter_eps", 1e-6))
         if "grid_size" in rung:
             gs = rung["grid_size"]
@@ -712,12 +783,97 @@ def _tessellate_one_enclosure(ering: np.ndarray, pdf, segment: float,
     return None
 
 
+def _tessellate_from_encl_df(building_verts: DataFrame, encl_df: DataFrame,
+                             *, segment: float, shrink: float,
+                             keep_empty: bool) -> DataFrame:
+    """DataFrame-native downstream of :func:`enclosed_tessellation` for an
+    enclosure RING TABLE (eid, ring, seq, x, y) instead of a driver ring
+    list: per-eid areas via ``applyInPandas``, building assignment via the
+    same ``group_nodes`` cell-join + smallest-area window, and the
+    per-enclosure Voronoi as a COGROUP of building verts with enclosure
+    rings on eid — no enclosure broadcast, no driver gather anywhere.
+    Empty enclosures fall out of the cogroup naturally (building side
+    empty ⇒ place_id −1 rows when ``keep_empty``)."""
+    from pyspark.sql import Window
+
+    from .polygons import group_nodes, polygon_centroids
+    encl_df = encl_df.localCheckpoint()
+
+    def area_fn(key, pdf):
+        import pandas as pd
+
+        from ..geo.kernels import rings_net_area
+        rl = [grp.sort_values("seq")[["x", "y"]].to_numpy()
+              for _, grp in pdf.groupby("ring", sort=True)]
+        return pd.DataFrame({"eid": [int(key[0])],
+                             "_area": [rings_net_area(rl)]})
+
+    areas_df = encl_df.groupBy("eid").applyInPandas(
+        area_fn, "eid long, _area double")
+    faces_df = encl_df.select(F.col("eid").alias("poly_id"),
+                              "ring", "seq", "x", "y")
+    cents = polygon_centroids(building_verts)
+    pts = cents.select(F.col("poly_id").alias("node_id"),
+                       F.col("cx").alias("x"), F.col("cy").alias("y"))
+    hits = group_nodes(faces_df, pts).withColumnRenamed("poly_id", "eid")
+    wn = Window.partitionBy("node_id").orderBy(F.col("_area").asc(),
+                                               F.col("eid").asc())
+    eids = (hits.join(areas_df, "eid")
+            .withColumn("_rn", F.row_number().over(wn))
+            .where(F.col("_rn") == 1)
+            .select(F.col("node_id").alias("poly_id"), "eid"))
+    # localCheckpoint before the cogroup: Spark 4.1 cogroup-applyInPandas
+    # mis-groups when a side's lineage contains a generator (explode) —
+    # whole inputs can land in ONE group (round-1 finding; building
+    # tables are routinely explode-synthesized)
+    verts = building_verts \
+        .select("poly_id", "ring", "seq", "x", "y").join(eids, "poly_id") \
+        .localCheckpoint()
+    seg_len, shr, ke = float(segment), float(shrink), bool(keep_empty)
+
+    def tess2(key, bpdf, epdf):
+        import pandas as pd
+        eid = int(key[0])
+        cols = ["enclosure_index", "place_id", "ring", "seq", "x", "y"]
+        if len(epdf) == 0:
+            return pd.DataFrame(columns=cols)
+        rl = [grp.sort_values("seq")[["x", "y"]].to_numpy()
+              for _, grp in epdf.groupby("ring", sort=True)]
+        if len(bpdf) == 0:
+            if not ke:
+                return pd.DataFrame(columns=cols)
+            rows = [(eid, -1, ri, i, float(x), float(y))
+                    for ri, ring in enumerate(rl)
+                    for i, (x, y) in enumerate(ring)]
+            return pd.DataFrame(rows, columns=cols)
+        cells = _tessellate_one_enclosure(rl[0], bpdf, seg_len, shr,
+                                          holes=rl[1:])
+        if cells is None:
+            fb = bpdf.sort_values(["poly_id", "ring", "seq"]).copy()
+            fb.insert(0, "enclosure_index", eid)
+            return fb.rename(columns={"poly_id": "place_id"})[cols]
+        rows = []
+        for pid, rlist in cells:
+            for ri, ring in enumerate(rlist):
+                for i, (x, y) in enumerate(ring):
+                    rows.append((eid, pid, ri, i, float(x), float(y)))
+        return pd.DataFrame(rows, columns=cols)
+
+    schema = ("enclosure_index long, place_id long, ring long, seq long, "
+              "x double, y double")
+    return (verts.groupBy("eid")
+            .cogroup(encl_df.groupBy("eid"))
+            .applyInPandas(tess2, schema))
+
+
 def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
                           segment: float = 0.5, shrink: float = 0.4,
                           buffer: float = 100.0,
                           limit: tuple[float, float, float, float] | None = None,
                           limit_mode: str = "union",
+                          union_mode: str = "auto",
                           union_driver_cap: int = 20_000,
+                          arc_segments: int = 0,
                           keep_empty: bool = True) -> DataFrame:
     """M5 enclosed tessellation (reference utils/spatial.py:2725-2830 +
     momepy.enclosed_tessellation): polygonize the barrier (street)
@@ -730,15 +886,19 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
     per-enclosure Voronoi runs as ``groupBy(eid).applyInPandas`` — the
     natural partition key, since enclosures tile the city and each is
     independent.  With an explicit ``limit`` or ``limit_mode="rect"`` the
-    building table never gathers anywhere at any scale.  **The DEFAULT
-    (``limit_mode="union"``, no ``limit``) is different**: deriving the
-    reference's buffered-union limit gathers the distributed pre-merged
-    building runs at the driver for the arrangement pass, bounded by
-    ``union_driver_cap`` (default 20 000 merged runs) — past the cap it
-    raises loudly rather than degrade.  Metro-scale (~10⁶ unaligned
-    buildings) callers must pass an explicit ``limit``,
-    ``limit_mode="rect"``, or tile the input; this is a behavior change
-    from rounds ≤4 where "rect" was the default (see README).
+    building table never gathers anywhere at any scale.  The DEFAULT
+    (``limit_mode="union"``, no ``limit``) derives the reference's
+    buffered-union limit: below ``union_driver_cap`` pre-merged building
+    runs the arrangement is a DRIVER pass over the gathered runs (fast,
+    bit-stable, momepy-like); past the cap ``union_mode="auto"`` switches
+    to the tiled DISTRIBUTED build (:mod:`.enclosures` — per-tile
+    arrangements, border-key stitching, label-propagation components; no
+    driver gather of building-scale data on the success path), and the
+    whole downstream (areas, assignment, per-enclosure Voronoi, empty
+    enclosures) runs DataFrame-native.  ``union_mode="driver"`` restores
+    the round-5 behavior (raise past the cap); ``union_mode="distributed"``
+    forces the tiled path at any size.  Note "union" became the default in
+    round 5 ("rect" before — see README).
 
     ``barriers_mv``: movement polyline vertex table (movement_id, seq, x, y).
     ``limit``: (xmin, ymin, xmax, ymax) enclosure boundary; an explicit
@@ -783,23 +943,49 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
         merged = (bb
                   .withColumn("_hi", F.max("bx1").over(
                       w.rowsBetween(Window.unboundedPreceding, -1)))
+                  # arc mode merges only UNBUFFERED-overlapping rects:
+                  # the rounded merged run then equals the union of the
+                  # individually rounded rects exactly (Minkowski sum
+                  # distributes over the union); mitered mode merges on
+                  # buffered touch, exact for rectangles
                   .withColumn("_new", (F.col("_hi").isNull())
-                              | (F.col("bx0") > F.col("_hi")))
+                              | (F.col("bx0") > F.col("_hi")
+                                 - (2.0 * b if arc_segments > 0 else 0.0)))
                   .withColumn("_grp", F.sum(F.col("_new").cast("int")).over(w))
                   .groupBy("by0", "by1", "_grp")
                   .agg(F.min("bx0").alias("bx0"), F.max("bx1").alias("bx1")))
         n_runs = merged.count()
+        if union_mode == "distributed" or (union_mode == "auto"
+                                           and n_runs > union_driver_cap):
+            from .enclosures import enclosures_union_distributed
+            caps = buffered_union_shapes(np.empty((0, 4)), segs, buffer,
+                                         arc_segments)
+            encl_df = enclosures_union_distributed(
+                merged.select("bx0", "by0", "bx1", "by1"), caps, segs,
+                buffer=b, arc_segments=arc_segments)
+            return _tessellate_from_encl_df(
+                building_verts, encl_df, segment=segment, shrink=shrink,
+                keep_empty=keep_empty)
         if n_runs > union_driver_cap:
             raise ValueError(
                 f"buffered-union enclosure limit gathers {n_runs} merged "
                 f"building runs at the driver (> union_driver_cap="
                 f"{union_driver_cap}); pass an explicit limit, "
-                f"limit_mode='rect', or raise the cap")
+                f"limit_mode='rect', union_mode='auto'/'distributed', "
+                f"or raise the cap")
         runs = merged.collect()
-        shapes = [np.array([[r["bx0"], r["by0"]], [r["bx1"], r["by0"]],
-                            [r["bx1"], r["by1"]], [r["bx0"], r["by1"]]])
-                  for r in runs]
-        shapes += buffered_union_shapes(np.empty((0, 4)), segs, buffer)
+        if arc_segments > 0:
+            # merged runs are buffered intervals — undo the dilation so
+            # the rounded rect re-applies it with corner arcs
+            shapes = [arc_rounded_rect(r["bx0"] + b, r["by0"] + b,
+                                       r["bx1"] - b, r["by1"] - b,
+                                       b, arc_segments) for r in runs]
+        else:
+            shapes = [np.array([[r["bx0"], r["by0"]], [r["bx1"], r["by0"]],
+                                [r["bx1"], r["by1"]], [r["bx0"], r["by1"]]])
+                      for r in runs]
+        shapes += buffered_union_shapes(np.empty((0, 4)), segs, buffer,
+                                        arc_segments)
         encl = build_enclosures_limited(segs, shapes)
     else:
         if limit is None:
