@@ -149,56 +149,132 @@ def halfplane_cells(sites: np.ndarray, subject: np.ndarray) -> list[np.ndarray]:
     chunk = max(1, min(n, 4_194_304 // max(n, 1) + 1))
     _UNCOND = 8      # nearest candidates clipped without a side pre-test
     _BLOCK = 256     # batch width of the GEMM side pre-test
+    # giant-subject pre-localization: when the enclosure ring has many
+    # thousands of vertices (domain-wrapping band enclosures), starting
+    # every site's poly from the full ring makes each early clip an
+    # O(|ring|) pass; instead clip the ring to a site-centred box first
+    # and SELF-VERIFY — if the finished cell touches the box boundary the
+    # box may have truncated it, so redo with a 4× box (and ultimately
+    # the full ring).  A cell strictly inside the box is provably equal
+    # to the unboxed result.
+    big_subject = len(subject) > 1024
+    sx0, sy0 = subject[:, 0].min(), subject[:, 1].min()
+    sx1, sy1 = subject[:, 0].max(), subject[:, 1].max()
+    ext2 = (sx1 - sx0) ** 2 + (sy1 - sy0) ** 2
+    # top-K candidate ordering: the clip loop rarely looks past a few
+    # hundred candidates before the certificate fires, so a full stable
+    # argsort of every n-length distance row (~O(n² log n) across sites)
+    # is waste at giant-group sizes; argpartition the K nearest and sort
+    # just those.  A site that exhausts the K candidates with its
+    # certificate still open reruns against the full stable order — same
+    # examined sequence, same output.  Small groups (n ≤ 2K) keep the
+    # full stable argsort path bit-for-bit.
+    _TOPK = 1024
+    partial = n > 2 * _TOPK
     for c0 in range(0, n, chunk):
         c1 = min(c0 + chunk, n)
         diff = sites[c0:c1, None, :] - sites[None, :, :]
         D = (diff * diff).sum(-1)
-        order = np.argsort(D, axis=1, kind="stable")
+        if partial:
+            part = np.argpartition(D, _TOPK, axis=1)[:, :_TOPK + 1]
+            sub = np.take_along_axis(D, part, 1)
+            ords = np.argsort(sub, axis=1, kind="stable")
+            order = np.take_along_axis(part, ords, 1)
+        else:
+            order = np.argsort(D, axis=1, kind="stable")
         for r in range(c1 - c0):
-            i = c0 + r
-            poly = subject.copy()
-            si = sites[i]
+            si = sites[c0 + r]
             cand = order[r]
             Drow = D[r]
-            # phase 1 — the old loop verbatim over the nearest few: they
-            # virtually always cut, and each clip collapses the poly fast
-            pos = 1
-            while pos < min(1 + _UNCOND, n) and len(poly):
-                j = cand[pos]
-                d = poly - si
-                rmax2 = (d * d).sum(-1).max()
-                if Drow[j] > 4.0 * rmax2:
-                    pos = n
-                    break
-                poly = _clip_halfplane(poly, si, sites[j])
-                pos += 1
-            # phase 2 — batched pre-test: flag candidates whose bisector
-            # can cut the CURRENT poly (min side < margin) and clip only
-            # those, nearest-first; candidates skipped as no-cut would
-            # have been no-op clips (poly only ever shrinks), so the
-            # effective clip sequence — and the output — is unchanged
-            while pos < n and len(poly):
-                d = poly - si
-                d2i = (d * d).sum(-1)
-                rmax2 = d2i.max()
-                if Drow[cand[pos]] > 4.0 * rmax2:
-                    break
-                blk = cand[pos:pos + _BLOCK]
-                SJ = sites[blk]
-                v2 = (poly * poly).sum(-1)
-                M = (v2 - d2i)[:, None] - 2.0 * (poly @ SJ.T) + s2[blk]
-                cuts = (M < margin).any(axis=0)
-                nz = np.nonzero(cuts)[0]
-                if len(nz) == 0:
-                    pos += len(blk)
-                    continue
-                k = pos + int(nz[0])
-                if Drow[cand[k]] > 4.0 * rmax2:
-                    break
-                poly = _clip_halfplane(poly, si, sites[cand[k]])
-                pos = k + 1
-            cells.append(poly)
+
+            def run(poly):
+                m = len(cand)
+                # phase 1 — the old loop verbatim over the nearest few:
+                # they virtually always cut, and each clip collapses the
+                # poly fast
+                pos = 1
+                while pos < min(1 + _UNCOND, m) and len(poly):
+                    j = cand[pos]
+                    d = poly - si
+                    rmax2 = (d * d).sum(-1).max()
+                    if Drow[j] > 4.0 * rmax2:
+                        return poly, False
+                    poly = _clip_halfplane(poly, si, sites[j])
+                    pos += 1
+                # phase 2 — batched pre-test: flag candidates whose
+                # bisector can cut the CURRENT poly (min side < margin)
+                # and clip only those, nearest-first; candidates skipped
+                # as no-cut would have been no-op clips (poly only ever
+                # shrinks), so the effective clip sequence — and the
+                # output — is unchanged
+                exhausted = False
+                while pos < m and len(poly):
+                    d = poly - si
+                    d2i = (d * d).sum(-1)
+                    rmax2 = d2i.max()
+                    if Drow[cand[pos]] > 4.0 * rmax2:
+                        break
+                    blk = cand[pos:pos + _BLOCK]
+                    SJ = sites[blk]
+                    v2 = (poly * poly).sum(-1)
+                    M = (v2 - d2i)[:, None] - 2.0 * (poly @ SJ.T) + s2[blk]
+                    cuts = (M < margin).any(axis=0)
+                    nz = np.nonzero(cuts)[0]
+                    if len(nz) == 0:
+                        pos += len(blk)
+                        continue
+                    k = pos + int(nz[0])
+                    if Drow[cand[k]] > 4.0 * rmax2:
+                        break
+                    poly = _clip_halfplane(poly, si, sites[cand[k]])
+                    pos = k + 1
+                if partial and m < n and pos >= m and len(poly):
+                    d = poly - si
+                    if Drow[cand[m - 1]] <= 4.0 * (d * d).sum(-1).max():
+                        exhausted = True
+                return poly, exhausted
+
+            def cell_for():
+                out = None
+                if big_subject and n > 300:
+                    R = 2.0 * float(np.sqrt(Drow[cand[min(len(cand) - 1,
+                                                          256)]])) + 1.0
+                    for _ in range(6):
+                        boxed = _clip_box(subject, si, R)
+                        res, exh = run(boxed)
+                        if exh:
+                            return None   # caller widens the candidates
+                        if not _touches_box(res, si, R):
+                            return res
+                        R *= 4.0
+                        if R * R > 4.0 * ext2:
+                            break
+                res, exh = run(subject.copy())
+                return None if exh else res
+
+            out = cell_for()
+            if out is None:
+                # rare: the top-K candidates ran out with the certificate
+                # still open — redo with the full stable order
+                cand = np.argsort(Drow, kind="stable")
+                out = cell_for()
+            cells.append(out)
     return cells
+
+
+def _clip_box(poly: np.ndarray, si: np.ndarray, R: float) -> np.ndarray:
+    out = _clip_line(poly, si[0] - R, si[1], 1.0, 0.0)
+    out = _clip_line(out, si[0] + R, si[1], -1.0, 0.0)
+    out = _clip_line(out, si[0], si[1] - R, 0.0, 1.0)
+    return _clip_line(out, si[0], si[1] + R, 0.0, -1.0)
+
+
+def _touches_box(poly: np.ndarray, si: np.ndarray, R: float) -> bool:
+    if len(poly) == 0:
+        return False
+    tol = 1e-7 * R
+    return bool((np.abs(poly[:, 0] - si[0]) >= R - tol).any()
+                or (np.abs(poly[:, 1] - si[1]) >= R - tol).any())
 
 
 def _clip_line(poly: np.ndarray, px: float, py: float, nx: float, ny: float
@@ -207,17 +283,23 @@ def _clip_line(poly: np.ndarray, px: float, py: float, nx: float, ny: float
     if len(poly) == 0:
         return poly
     side = (poly[:, 0] - px) * nx + (poly[:, 1] - py) * ny
-    out = []
+    # vectorized interleave, element-wise identical to the per-vertex
+    # loop it replaced (see _clip_halfplane)
     m = len(poly)
-    for a in range(m):
-        b = (a + 1) % m
-        sa, sb = side[a], side[b]
-        if sa >= 0.0:
-            out.append(poly[a])
-        if (sa >= 0.0) != (sb >= 0.0) and sa != sb:
-            t = sa / (sa - sb)
-            out.append(poly[a] + t * (poly[b] - poly[a]))
-    return np.array(out) if out else np.empty((0, 2))
+    sb = np.concatenate([side[1:], side[:1]])
+    pb = np.concatenate([poly[1:], poly[:1]])
+    keep = side >= 0.0
+    cross = (keep != (sb >= 0.0)) & (side != sb)
+    t = side / np.where(cross, side - sb, 1.0)
+    cpts = poly + t[:, None] * (pb - poly)
+    slots = np.empty((2 * m, 2))
+    mask = np.empty(2 * m, dtype=bool)
+    slots[0::2] = poly
+    mask[0::2] = keep
+    slots[1::2] = cpts
+    mask[1::2] = cross
+    out = slots[mask]
+    return out if len(out) else np.empty((0, 2))
 
 
 def shrink_ring(ring: np.ndarray, d: float) -> np.ndarray:

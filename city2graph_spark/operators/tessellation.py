@@ -749,6 +749,19 @@ def _tessellate_one_enclosure(ering: np.ndarray, pdf, segment: float,
     # to the reference's footprint fallback (spatial.py:2657-2668) like
     # any other unpartitionable enclosure.
     seg_eff = float(segment)
+    # analytic first guess from the raw ring perimeter (samples ≈ verts +
+    # perimeter/segment) so a giant group never materializes its full
+    # half-metre sampling just to learn it must coarsen
+    vv = pdf.sort_values(["poly_id", "ring", "seq"])
+    vx = vv["x"].to_numpy()
+    vy = vv["y"].to_numpy()
+    same = (vv["poly_id"].to_numpy()[1:] == vv["poly_id"].to_numpy()[:-1]) \
+        & (vv["ring"].to_numpy()[1:] == vv["ring"].to_numpy()[:-1])
+    perim = float((np.hypot(np.diff(vx), np.diff(vy)) * same).sum())
+    est = len(vv) + perim / seg_eff
+    if est > _MAX_VORONOI_SAMPLES:
+        seg_eff = max(seg_eff,
+                      perim / max(_MAX_VORONOI_SAMPLES - len(vv), 1))
     S0, _ = _building_samples(pdf, seg_eff, shrink)
     for _ in range(8):
         if len(S0) <= _MAX_VORONOI_SAMPLES:

@@ -113,15 +113,17 @@ def main() -> None:
         mv = synth_streets(spark, domain, 8)
         out: dict[str, list[float]] = {"driver": [], "distributed": []}
         counts: dict[str, tuple[int, int]] = {}
-        # interleaved, distributed first so the fast arm's numbers land
-        # even if the driver arm is later cut short externally
-        for r in range(reps):
-            for mode in ("distributed", "driver"):
-                sec, n_encl, n_cells = run_once(spark, bv, mv, mode)
-                out[mode].append(round(sec, 2))
-                counts[mode] = (n_encl, n_cells)
-                print(f"AB rep {r} {mode}: {sec:.2f}s encl={n_encl} "
-                      f"cells={n_cells}", flush=True)
+        # interleaved with the fast arm BRACKETING the slow one
+        # (dist, driver, dist, driver, ..., dist): host drift shows up as
+        # spread between the bracketing runs, and the fast arm's numbers
+        # land even if the driver arm is later cut short externally
+        seq = ["distributed", "driver"] * reps + ["distributed"]
+        for r, mode in enumerate(seq):
+            sec, n_encl, n_cells = run_once(spark, bv, mv, mode)
+            out[mode].append(round(sec, 2))
+            counts[mode] = (n_encl, n_cells)
+            print(f"AB step {r} {mode}: {sec:.2f}s encl={n_encl} "
+                  f"cells={n_cells}", flush=True)
         print(json.dumps({
             "evidence": "union_driver_vs_distributed_ab", "n_buildings": n,
             "reps": out,
