@@ -465,6 +465,16 @@ def enclosures_union_distributed(rects: DataFrame,
         if not rl:
             return pd.DataFrame(columns=["component", "ring", "seq",
                                          "x", "y", "minx", "miny", "area"])
+        # EXTERIOR FIRST: dissolve returns rings in arbitrary order, and
+        # every consumer (area sign, Voronoi subject vs holes) reads ring
+        # 0 as the exterior — which, for one connected face, is the ring
+        # of maximum |area| (it strictly contains every hole)
+        if len(rl) > 1:
+            absa = [abs(0.5 * float(np.sum(
+                r[:, 0] * np.roll(r[:, 1], -1)
+                - np.roll(r[:, 0], -1) * r[:, 1]))) for r in rl]
+            ei = int(np.argmax(absa))
+            rl = [rl[ei]] + rl[:ei] + rl[ei + 1:]
         ext = rl[0]
         x, y = ext[:, 0], ext[:, 1]
         area = 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))

@@ -659,29 +659,51 @@ def _subtract_holes(rl: list[np.ndarray], holes: list[np.ndarray]
     ext = rl[0]
     x0, y0 = float(ext[:, 0].min()), float(ext[:, 1].min())
     x1, y1 = float(ext[:, 0].max()), float(ext[:, 1].max())
-    hs = [h for h in holes
-          if len(h) >= 3 and h[:, 0].max() >= x0 and h[:, 0].min() <= x1
-          and h[:, 1].max() >= y0 and h[:, 1].min() <= y1]
+    # per-hole LOCAL segment selection: a domain-wrapping hole's bbox
+    # overlaps every cell, but only its boundary segments near THIS cell
+    # can subdivide it — segments outside the cell bbox cannot intersect
+    # the cell, so dropping them from the overlay leaves the kept
+    # geometry unchanged while the arrangement stays cell-sized.  A hole
+    # whose bbox overlaps but whose boundary stays away leaves the cell
+    # untouched (the cell contains its own site, which lies outside every
+    # hole, so it cannot be swallowed whole).
+    hs = []
+    hole_segs = []
+    for h in holes:
+        if len(h) < 3 or h[:, 0].max() < x0 or h[:, 0].min() > x1 \
+                or h[:, 1].max() < y0 or h[:, 1].min() > y1:
+            continue
+        b = np.roll(h, -1, axis=0)
+        near = (np.maximum(h[:, 0], b[:, 0]) >= x0) \
+            & (np.minimum(h[:, 0], b[:, 0]) <= x1) \
+            & (np.maximum(h[:, 1], b[:, 1]) >= y0) \
+            & (np.minimum(h[:, 1], b[:, 1]) <= y1)
+        if near.any():
+            hs.append(h)
+            hole_segs.append(np.column_stack([h[near], b[near]]))
     if not hs:
         return rl
     segs = []
-    for ring in [*rl, *hs]:
+    for ring in rl:
         nxt = np.roll(np.arange(len(ring)), -1)
         for i in range(len(ring)):
             segs.append([ring[i, 0], ring[i, 1],
                          ring[nxt[i], 0], ring[nxt[i], 1]])
-    faces = polygonize(node_segments(np.array(segs)))
+    segs = np.vstack([np.array(segs), *hole_segs])
+    faces = polygonize(node_segments(segs))
     cell_rings = [(r[:, 0], r[:, 1]) for r in rl]
-    kept = []
-    for f in faces:
-        px, py = ring_rep_point(f)
-        pxa, pya = np.array([px]), np.array([py])
-        if not points_in_polygon(pxa, pya, cell_rings, mode="within")[0]:
-            continue
-        if any(points_within_ring(pxa, pya, h[:, 0], h[:, 1])[0]
-               for h in hs):
-            continue
-        kept.append(f)
+    if not faces:
+        kept = []
+    else:
+        reps = np.array([ring_rep_point(f) for f in faces])
+        ok = points_in_polygon(reps[:, 0], reps[:, 1], cell_rings,
+                               mode="within")
+        for h in hs:
+            if not ok.any():
+                break
+            ok &= ~points_within_ring(reps[:, 0], reps[:, 1],
+                                      h[:, 0], h[:, 1])
+        kept = [faces[i] for i in np.nonzero(ok)[0]]
     if not kept:
         return []
     merged = dissolve_cells(kept, np.zeros(len(kept), dtype=np.int64))
@@ -941,12 +963,11 @@ def enclosed_tessellation(building_verts: DataFrame, barriers_mv: DataFrame, *,
         # interval merge per (y0, y1) group, the classic shape of rowed
         # housing data (and of real city blocks), collapsing n buildings
         # to the number of aligned runs with the union region UNCHANGED.
-        # The remaining arrangement is a DRIVER pass over runs ∪ barriers
-        # (like momepy's in-process enclosures) — capped LOUDLY; past the
-        # cap callers pass an explicit ``limit`` / ``limit_mode="rect"``
-        # (or pre-clip buildings to the working area).  Follow-up for true
-        # metro scale: tiled enclosure build with halo certification, the
-        # ``morphological_tessellation_distributed`` pattern.
+        # Below the cap the remaining arrangement is a DRIVER pass over
+        # runs ∪ barriers (like momepy's in-process enclosures); past it
+        # union_mode="auto" switches to the tiled distributed build
+        # (operators/enclosures.py) — metro scale no longer needs a
+        # fallback mode.
         from pyspark.sql import Window
         b = float(buffer)
         bb = (building_verts.where(F.col("ring") == 0).groupBy("poly_id")

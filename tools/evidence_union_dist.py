@@ -165,3 +165,60 @@ def run_encl_only(n: int) -> None:
     print(json.dumps({"evidence": "encl_build_only", "n": n,
                       "sec": round(time.time() - t0, 1),
                       "enclosures": int(n_encl)}))
+
+
+def run_abencl(reps: int = 1) -> None:
+    """Build-only A/B: the round-5 driver arrangement vs the tiled
+    distributed build, SAME inputs (20k scattered unaligned buildings),
+    interleaved dist/driver/dist.  This isolates the named scale-killer —
+    the enclosure ARRANGEMENT — from the (shared) tessellation
+    downstream."""
+    import numpy as np
+
+    from city2graph_spark.operators.enclosures import \
+        enclosures_union_distributed
+    from city2graph_spark.operators.morphology import polyline_parts
+    from city2graph_spark.operators.tessellation import (
+        build_enclosures_limited, buffered_union_shapes)
+    from city2graph_spark.session import get_spark
+    from pyspark.sql import functions as F
+    spark = get_spark("evidence_abencl", master=f"local[{CPUS}]")
+    n = 20_000
+    domain = (n * 8000.0) ** 0.5
+    bv = synth_buildings(spark, n, domain).localCheckpoint()
+    mv = synth_streets(spark, domain, 8)
+    b = 20.0
+    parts = polyline_parts(mv).select("ax", "ay", "bx", "by").collect()
+    segs = np.array([[r["ax"], r["ay"], r["bx"], r["by"]] for r in parts])
+    bb = (bv.where(F.col("ring") == 0).groupBy("poly_id")
+          .agg((F.min("x") - b).alias("bx0"), (F.min("y") - b).alias("by0"),
+               (F.max("x") + b).alias("bx1"), (F.max("y") + b).alias("by1"))
+          ).localCheckpoint()
+    caps = buffered_union_shapes(np.empty((0, 4)), segs, b)
+    out = {"driver": [], "distributed": []}
+    counts = {}
+    seq = ["distributed", "driver"] * reps + ["distributed"]
+    for r, mode in enumerate(seq):
+        t0 = time.time()
+        if mode == "distributed":
+            encl = enclosures_union_distributed(bb, caps, segs)
+            n_encl = int(encl.agg(F.countDistinct("eid")).head()[0])
+        else:
+            rows = bb.collect()
+            shapes = [np.array([[x["bx0"], x["by0"]], [x["bx1"], x["by0"]],
+                                [x["bx1"], x["by1"]], [x["bx0"], x["by1"]]])
+                      for x in rows]
+            encl = build_enclosures_limited(segs, shapes + caps)
+            n_encl = len(encl)
+        sec = time.time() - t0
+        out[mode].append(round(sec, 1))
+        counts[mode] = n_encl
+        print(f"ABENCL step {r} {mode}: {sec:.1f}s enclosures={n_encl}",
+              flush=True)
+    print(json.dumps({
+        "evidence": "enclosure_build_ab_20k_unaligned",
+        "n_buildings": n, "reps": out,
+        "median_driver": statistics.median(out["driver"]),
+        "median_distributed": statistics.median(out["distributed"]),
+        "counts": counts,
+        "counts_match": counts["driver"] == counts["distributed"]}))
