@@ -44,9 +44,22 @@ R_CAND = 700.0
 WAXMAN = dict(beta=0.6, r0=150.0, seed=42, p_min=1e-3)
 
 
+# session → the sf_dir whose views are currently registered in it (temp
+# views are session-scoped).  Registration is pure catalog metadata (10
+# parquet footer reads, ~1 s of driver time per call) — NOT data or results
+# — so repeating it for every SQL query in a session is waste; every query
+# still computes from the parquet files.  A different sf_dir in the same
+# session re-registers, so the views always point at the caller's dir.
+_REGISTERED_VIEWS: dict[tuple[str, int], str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
+    key = (spark.sparkContext.applicationId, id(spark))
+    if _REGISTERED_VIEWS.get(key) == sf_dir:
+        return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _REGISTERED_VIEWS[key] = sf_dir
 
 
 # --------------------------------------------------------------------------

@@ -131,13 +131,20 @@ def _local_topk_kernel(k: int, metric: str, block_size: float):
             if metric == "manhattan":
                 dist = np.abs(dx) + np.abs(dy)
             else:
-                dist = np.sqrt(dx * dx + dy * dy)
+                # select on d² (monotone), sqrt only the m survivors per
+                # probe — cuts the full-matrix sqrt from the hot loop.
+                # Boundary ties at the argpartition cut behave exactly as
+                # before (arbitrary there too); the (weight, id) tie order
+                # below runs on the true sqrt weights either way.
+                dist = dx * dx + dy * dy
             dist[cpid[:, None] == cid[None, :]] = np.inf  # exclude self
             if m < nc:
                 part = np.argpartition(dist, m - 1, axis=1)[:, :m]
             else:
                 part = np.broadcast_to(np.arange(nc), (len(cpid), nc)).copy()
             sel_d = np.take_along_axis(dist, part, axis=1)
+            if metric != "manhattan":
+                sel_d = np.sqrt(sel_d)
             sel_i = cid[part]
             # row-wise lexicographic (dist, id): order by id, then stable by dist
             o1 = np.argsort(sel_i, axis=1, kind="stable")
@@ -249,15 +256,25 @@ def knn_graph(points: DataFrame, k: int, *, cell_size: float,
            .select(F.col("cell").alias("qcell"),
                    F.ceil(F.col("count") / salt_target).cast("int")
                    .alias("_nsalt")))
-    cands = (cands.join(F.broadcast(hot), "qcell", "left")
-             .withColumn("_nsalt", F.coalesce("_nsalt", F.lit(1)))
-             .withColumn("_psalt", F.pmod(F.xxhash64("node_id"),
-                                          F.col("_nsalt")))
-             .withColumn("_salt", F.explode(F.sequence(
-                 F.lit(0), F.col("_nsalt") - 1)))
-             .withColumn("_probe", (F.col("cell") == F.col("qcell"))
-                         & (F.col("_salt") == F.col("_psalt")))
-             .select("node_id", "x", "y", "cell", "qcell", "_salt", "_probe"))
+    if hot.isEmpty():
+        # common case (no superblock past salt_target): the salting
+        # machinery — broadcast join + per-row xxhash64 + a Generate that
+        # breaks whole-stage codegen — would touch all 9n exploded rows for
+        # nothing.  One tiny aggregation job decides; the salted plan below
+        # is reserved for inputs that actually have hot cells.
+        cands = cands.withColumn("_salt", F.lit(0)) \
+                     .withColumn("_probe", F.col("cell") == F.col("qcell"))
+    else:
+        cands = (cands.join(F.broadcast(hot), "qcell", "left")
+                 .withColumn("_nsalt", F.coalesce("_nsalt", F.lit(1)))
+                 .withColumn("_psalt", F.pmod(F.xxhash64("node_id"),
+                                              F.col("_nsalt")))
+                 .withColumn("_salt", F.explode(F.sequence(
+                     F.lit(0), F.col("_nsalt") - 1)))
+                 .withColumn("_probe", (F.col("cell") == F.col("qcell"))
+                             & (F.col("_salt") == F.col("_psalt")))
+                 .select("node_id", "x", "y", "cell", "qcell", "_salt",
+                         "_probe"))
     top1 = _persist(
         cands.groupBy("qcell", "_salt")
         .applyInPandas(_local_topk_kernel(k, metric, B),
@@ -391,19 +408,27 @@ def _empty_graph_kernel(r_cand: float, block: float, mode: str):
         nc = len(cid)
 
         # ---- candidate pairs (exact distances, oracle expression tree) --
+        # d² prefilter: the full-matrix sqrt moves off the hot loop — only
+        # pairs inside a 3-ulp-slackened d² bound get the sqrt, then the
+        # EXACT original predicate (sqrt ≤ r_cand, same doubles) decides.
+        r2_loose = r_cand * r_cand * (1.0 + 1e-12)
         eu, ev, ew = [], [], []
         chunk = max(1, int(4_000_000 / nc))
         for s in range(0, len(pid), chunk):
             cpid, cP = pid[s:s + chunk], P[s:s + chunk]
             dx = cP[:, 0][:, None] - W[:, 0][None, :]
             dy = cP[:, 1][:, None] - W[:, 1][None, :]
-            dist = np.sqrt(dx * dx + dy * dy)
-            pair = (dist <= r_cand) & (cpid[:, None] < cid[None, :])
-            ei, ej = np.nonzero(pair)
+            d2 = dx * dx + dy * dy
+            pre = (d2 <= r2_loose) & (cpid[:, None] < cid[None, :])
+            ei, ej = np.nonzero(pre)
+            if len(ei):
+                dist = np.sqrt(d2[ei, ej])
+                ok = dist <= r_cand
+                ei, ej, dist = ei[ok], ej[ok], dist[ok]
             if len(ei):
                 eu.append(np.searchsorted(cid, cpid[ei]))
                 ev.append(ej)
-                ew.append(dist[ei, ej])
+                ew.append(dist)
         if not eu:
             return pd.DataFrame(empty)
         iu = np.concatenate(eu)   # witness-array index of u
@@ -619,15 +644,37 @@ def _empty_graph_kernel(r_cand: float, block: float, mode: str):
 
 def _empty_region_graph(points: DataFrame, r_cand: float,
                         cell_size: float | None, mode: str) -> DataFrame:
+    from ..index import CELL_OFFSET, CELL_SHIFT
+
     if cell_size is None:
         # size blocks by density, but never below r_cand (locality proof)
         cell_size = estimate_knn_cell(points.count(), 8)
     B = max(float(cell_size), float(r_cand))
+    r = float(r_cand)
     pts = with_cell(points, cell_size=B)
     cands = explode_ring(pts, ring=1, cx="cell_cx", cy="cell_cy", out="qcell") \
         .select("node_id", "x", "y", "cell", "qcell")
+    # Exactness-preserving halo shrink: every candidate partner AND every
+    # disc/lune witness of an edge anchored in the home cell lies within
+    # r_cand of the home cell's box (candidate: |uv| ≤ r with u in the box;
+    # disc witness: |wu| ≤ d ≤ r; lune witness: d(u,w) < d ≤ r).  Rows of
+    # the 3×3 ring farther than that can never influence a home edge, so
+    # they are dropped BEFORE the shuffle — at B ≫ r this cuts exploded
+    # rows ~(1+2r/B)²/9, and the kernel's matrices shrink with them.  The
+    # bound is slackened by 1e-9 relative so box-edge rounding keeps the
+    # filter a superset (extra rows are harmless; missing ones are not).
+    qcx = F.floor(F.col("qcell") / F.lit(CELL_SHIFT)).cast("long")
+    qcy = (F.col("qcell") - qcx * F.lit(CELL_SHIFT)).cast("long")
+    bx0 = (qcx - F.lit(CELL_OFFSET)).cast("double") * F.lit(B)
+    by0 = (qcy - F.lit(CELL_OFFSET)).cast("double") * F.lit(B)
+    ddx = F.greatest(F.lit(0.0), bx0 - F.col("x"),
+                     F.col("x") - (bx0 + F.lit(B)))
+    ddy = F.greatest(F.lit(0.0), by0 - F.col("y"),
+                     F.col("y") - (by0 + F.lit(B)))
+    cands = cands.where(ddx * ddx + ddy * ddy
+                        <= F.lit(r * r * (1.0 + 1e-9) + 1e-30))
     return (cands.groupBy("qcell")
-            .applyInPandas(_empty_graph_kernel(float(r_cand), B, mode),
+            .applyInPandas(_empty_graph_kernel(r, B, mode),
                            "u long, v long, weight double"))
 
 

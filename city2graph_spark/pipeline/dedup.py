@@ -153,20 +153,40 @@ def minhash_signatures_agg(docs: DataFrame, *, n_hashes: int = 8,
 def minhash_lsh_pairs(docs: DataFrame, *, n_hashes: int = 8, band_rows: int = 2,
                       shingle_n: int = 4) -> DataFrame:
     """LSH candidate pairs: docs sharing any full band of minhashes.
-    Banded bucket equi-join — never all-pairs."""
+    Banded bucket equi-join — never all-pairs.
+
+    Plan shape: both band sides shuffle on (band, bsig) — the forced
+    sort-merge join makes the two exchange subtrees canonically identical,
+    so the signature kernel runs ONCE and the second side is a
+    ReusedExchange (the planner's broadcast pick evaluated the mapInPandas
+    subtree twice, and a broadcast build side can never be the right call
+    for a self-join whose sides are by construction the same size).  Each
+    pair is emitted exactly once, from its FIRST colliding band — both full
+    signatures ride through the join and a codegen filter keeps the band
+    row only when every earlier band's slices differ — which replaces the
+    output-sized dropDuplicates exchange+aggregate with a filter.  SMJ on
+    the band key also keeps AQE's skew-join split available for hot buckets
+    (near-identical corpora)."""
     mh = minhash_signatures(docs, n_hashes=n_hashes, shingle_n=shingle_n)
     n_bands = n_hashes // band_rows
-    bands = (mh.select("doc_id", F.explode(F.array(*[
+    bands = (mh.select("doc_id", "sig", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.slice("sig", b * band_rows + 1, band_rows).alias("sig"))
+                 F.slice("sig", b * band_rows + 1, band_rows).alias("bsig"))
         for b in range(n_bands)])).alias("_b"))
-        .select("doc_id", F.col("_b.band").alias("band"),
-                F.col("_b.sig").alias("sig")))
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-    return (a.join(b, ["band", "sig"])
+        .select("doc_id", "sig", F.col("_b.band").alias("band"),
+                F.col("_b.bsig").alias("bsig")))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sig").alias("_siga"), "band", "bsig").hint("merge")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sig").alias("_sigb"), "band", "bsig")
+    first_eq = F.array_position(F.array(*[
+        (F.slice("_siga", bb * band_rows + 1, band_rows)
+         == F.slice("_sigb", bb * band_rows + 1, band_rows)).cast("int")
+        for bb in range(n_bands)]), 1)
+    return (a.join(b, ["band", "bsig"])
             .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").dropDuplicates())
+            .where(first_eq == F.col("band") + 1)
+            .select("doc_a", "doc_b"))
 
 
 def minhash_signatures_md5(docs: DataFrame, *, n_hashes: int = 8,

@@ -74,12 +74,53 @@ def cosine_topk(probe: DataFrame, k: int, *, build: DataFrame | None = None,
     Ranking ties break by neighbor id ascending.  Returns (qid, nid, rnk).
     Reference parity: city2graph has no embedding search — this is a
     pipeline-extension operator (brief §extensions).
+
+    When the whole build side fits in one chunk (``n_build ≤
+    rows_per_chunk``) the cogroup would shuffle both sides into a handful
+    of tasks (one, when the probe side is also a single chunk) — so that
+    regime instead broadcasts the build matrix and streams probes through
+    ``mapInPandas``: zero shuffles, parallelism = probe partitions, same
+    kernel (:func:`_topk_rows`) ⇒ identical rows.  Past the chunk bound the
+    block-nested cogroup below is the scale path.
     """
     build = build if build is not None else probe
     n_build = build.count()
     n_probe = n_build if build is probe else probe.count()
     C = max(1, -(-n_build // rows_per_chunk))   # build chunks
     P = max(1, -(-n_probe // rows_per_chunk))   # probe chunks
+    kk_cap = int(k)
+
+    if C == 1:
+        spark = probe.sparkSession
+        if n_build == 0:
+            return spark.createDataFrame([], "qid long, nid long, rnk long")
+        bids, bmat = _collect_matrix(build, id_col, vec_col)
+        bnorm = np.sqrt((bmat * bmat).sum(axis=1))
+        bnorm[bnorm == 0.0] = 1.0
+        bc = spark.sparkContext.broadcast((bids, bmat, bnorm))
+
+        def topk_batches(it):
+            import pandas as pd
+            ids_b, mat_b, norm_b = bc.value
+            kk = min(kk_cap, len(ids_b))
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                qid = pdf[id_col].to_numpy().astype(np.int64)
+                Q = np.array(list(pdf[vec_col]), dtype=np.float64)
+                qn = np.sqrt((Q * Q).sum(axis=1))
+                qn[qn == 0.0] = 1.0
+                sims = (Q @ mat_b.T) / (qn[:, None] * norm_b[None, :])
+                sims[qid[:, None] == ids_b[None, :]] = -np.inf  # exclude self
+                sel_i, sel_s = _topk_rows(sims, ids_b, kk)
+                keep = np.isfinite(sel_s)
+                rnk = np.broadcast_to(np.arange(1, kk + 1), sel_i.shape)
+                qq = np.repeat(qid, kk).reshape(-1, kk)
+                yield pd.DataFrame({"qid": qq[keep], "nid": sel_i[keep],
+                                    "rnk": rnk[keep].astype(np.int64)})
+
+        return probe.select(id_col, vec_col).mapInPandas(
+            topk_batches, "qid long, nid long, rnk long")
 
     bt = (build.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("bvec"))
           .withColumn("bchunk", F.pmod(F.xxhash64("bid"), F.lit(C)))
@@ -87,8 +128,6 @@ def cosine_topk(probe: DataFrame, k: int, *, build: DataFrame | None = None,
     pt = (probe.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
           .withColumn("pchunk", F.pmod(F.xxhash64("qid"), F.lit(P)))
           .withColumn("bchunk", F.explode(F.sequence(F.lit(0), F.lit(C - 1)))))
-
-    kk_cap = int(k)
 
     def block_topk(ppdf, bpdf):
         import pandas as pd

@@ -30,9 +30,12 @@ def test_cosine_topk_matches_numpy(emb_df):
     assert got == want
 
 
-def test_cosine_topk_never_collects_build(emb_df, monkeypatch):
-    """The default path is the chunked block-nested GEMM — the build
-    relation must never transit the driver (round-1 scale-killer)."""
+def test_cosine_topk_never_collects_large_build(emb_df, monkeypatch):
+    """Past the chunk bound the build relation must never transit the
+    driver (round-1 scale-killer).  Below the bound the broadcast fast
+    path deliberately collects the (bounded, ≤ rows_per_chunk) build
+    matrix — the broadcast-join pattern — so only the chunked regime is
+    pinned here; path equality is pinned by the test below."""
     import city2graph_spark.pipeline.simsearch as ss
     df, _ = emb_df
 
@@ -40,7 +43,17 @@ def test_cosine_topk_never_collects_build(emb_df, monkeypatch):
         raise AssertionError("_collect_matrix called on the chunked path")
 
     monkeypatch.setattr(ss, "_collect_matrix", boom)
-    assert ss.cosine_topk(df, 3).count() == 120 * 3
+    assert ss.cosine_topk(df, 3, rows_per_chunk=17).count() == 120 * 3
+
+
+def test_cosine_topk_small_build_dispatch_identical(emb_df):
+    """The default call (build fits one chunk → broadcast mapInPandas fast
+    path, zero shuffles) must return exactly the chunked path's rows."""
+    df, _ = emb_df
+    fast = {(r.qid, r.nid, r.rnk) for r in cosine_topk(df, 3).collect()}
+    chunked = {(r.qid, r.nid, r.rnk)
+               for r in cosine_topk(df, 3, rows_per_chunk=17).collect()}
+    assert fast == chunked
 
 
 def test_cosine_topk_chunked_equals_broadcast(emb_df):
