@@ -2598,14 +2598,17 @@ def _make_sql_runner(builder):
     return run
 
 
-def _checked_last_round() -> set:
-    """Names present in the most recent driver ``CORRECTNESS_r*.json``.
+def _checked_last_round() -> tuple[set, set]:
+    """(passed, failed) name sets from the most recent driver
+    ``CORRECTNESS_r*.json``.
 
     The driver verifies only the first 50 entries of ``queries()`` (observed
     r5: the registry grew to 61 rows and 11 previously-green rows silently
-    fell past the window).  Treat the window as a budget: rows the driver did
-    NOT check last round are ordered first, so every row re-enters the hard
-    signal at least every other round regardless of registry growth.
+    fell past the window).  Treat the window as a budget: rows that FAILED
+    last round are ordered first (a known regression must stay inside the
+    hard signal), then rows the driver did not check, then green rows — so
+    every row re-enters the hard signal at least every other round
+    regardless of registry growth.
     """
     import glob
     import json
@@ -2614,13 +2617,24 @@ def _checked_last_round() -> set:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     if not files:
-        return set()
+        return set(), set()
     try:
         with open(files[-1]) as fh:
             data = json.load(fh)
-        return set(data.keys()) if isinstance(data, dict) else set()
+        if not isinstance(data, dict):
+            return set(), set()
     except (OSError, ValueError):
-        return set()
+        return set(), set()
+    passed, failed = set(), set()
+    for name, row in data.items():
+        # err == "no_oracle" marks a rows-only-by-design row, not a failure
+        ok = (isinstance(row, dict)
+              and row.get("err") in (None, "no_oracle")
+              and row.get("hash_match") is not False
+              and row.get("rows_match") is not False
+              and row.get("schema_match") is not False)
+        (passed if ok else failed).add(name)
+    return passed, failed
 
 
 def queries():
@@ -2629,9 +2643,12 @@ def queries():
         out[name] = fn
     for name, builder in _SQL_QUERIES.items():
         out[name] = _make_sql_runner(builder)
-    checked = _checked_last_round()
-    ordered = [n for n in out if n not in checked]
-    ordered += [n for n in out if n in checked]
+    passed, failed = _checked_last_round()
+    # failing rows FIRST (a known regression must never rotate out of the
+    # driver's window), then never-checked rows, then green rows
+    ordered = [n for n in out if n in failed]
+    ordered += [n for n in out if n not in failed and n not in passed]
+    ordered += [n for n in out if n in passed and n not in failed]
     return {n: out[n] for n in ordered}
 
 

@@ -491,8 +491,31 @@ def enclosures_union_distributed(rects: DataFrame,
                "minx double, miny double, area double").localCheckpoint()
 
     meta = merged.select("component", "minx", "miny", "area").dropDuplicates()
-    worder = Window.orderBy("minx", "miny", "area")
-    eids = meta.withColumn("eid", F.row_number().over(worder) - 1) \
+    # Deterministic (minx, miny, area) rank WITHOUT a global single-task
+    # window: range-partition the (narrow, one-row-per-enclosure) meta
+    # table on the sort key, rank inside each partition in parallel, and
+    # add the cumulative count of the lower partitions (a tiny per-
+    # partition count list collected and broadcast as literals).  Equal
+    # keys land in one range partition, so the rank equals the old global
+    # row_number for every distinct key.
+    npart = max(int(meta.sparkSession.sparkContext.defaultParallelism), 1)
+    ranged = meta.repartitionByRange(npart, "minx", "miny", "area") \
+        .withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint()  # pin partitioning for both reads
+    sizes = {r["_pid"]: r["c"] for r in
+             ranged.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    offs, acc = {}, 0
+    for pid in sorted(sizes):
+        offs[pid] = acc
+        acc += sizes[pid]
+    off_col = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(offs)]),
+            F.array(*[F.lit(offs[p]) for p in sorted(offs)])),
+        F.col("_pid")) if offs else F.lit(0)
+    wlocal = Window.partitionBy("_pid").orderBy("minx", "miny", "area")
+    eids = ranged.withColumn(
+        "eid", F.row_number().over(wlocal) - 1 + off_col) \
         .select("component", "eid")
     return (merged.join(eids, "component")
             .select("eid", F.col("ring").cast("long").alias("ring"),

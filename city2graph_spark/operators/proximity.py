@@ -408,27 +408,22 @@ def _empty_graph_kernel(r_cand: float, block: float, mode: str):
         nc = len(cid)
 
         # ---- candidate pairs (exact distances, oracle expression tree) --
-        # d² prefilter: the full-matrix sqrt moves off the hot loop — only
-        # pairs inside a 3-ulp-slackened d² bound get the sqrt, then the
-        # EXACT original predicate (sqrt ≤ r_cand, same doubles) decides.
-        r2_loose = r_cand * r_cand * (1.0 + 1e-12)
+        # (A d²-prefilter-then-sqrt variant was measured SLOWER here — the
+        # extra nonzero/fancy-indexing costs more than the full-matrix
+        # sqrt it saves; see OPTIMIZATION_r07.md.)
         eu, ev, ew = [], [], []
         chunk = max(1, int(4_000_000 / nc))
         for s in range(0, len(pid), chunk):
             cpid, cP = pid[s:s + chunk], P[s:s + chunk]
             dx = cP[:, 0][:, None] - W[:, 0][None, :]
             dy = cP[:, 1][:, None] - W[:, 1][None, :]
-            d2 = dx * dx + dy * dy
-            pre = (d2 <= r2_loose) & (cpid[:, None] < cid[None, :])
-            ei, ej = np.nonzero(pre)
-            if len(ei):
-                dist = np.sqrt(d2[ei, ej])
-                ok = dist <= r_cand
-                ei, ej, dist = ei[ok], ej[ok], dist[ok]
+            dist = np.sqrt(dx * dx + dy * dy)
+            pair = (dist <= r_cand) & (cpid[:, None] < cid[None, :])
+            ei, ej = np.nonzero(pair)
             if len(ei):
                 eu.append(np.searchsorted(cid, cpid[ei]))
                 ev.append(ej)
-                ew.append(dist)
+                ew.append(dist[ei, ej])
         if not eu:
             return pd.DataFrame(empty)
         iu = np.concatenate(eu)   # witness-array index of u
@@ -644,37 +639,26 @@ def _empty_graph_kernel(r_cand: float, block: float, mode: str):
 
 def _empty_region_graph(points: DataFrame, r_cand: float,
                         cell_size: float | None, mode: str) -> DataFrame:
-    from ..index import CELL_OFFSET, CELL_SHIFT
-
     if cell_size is None:
-        # size blocks by density, but never below r_cand (locality proof)
-        cell_size = estimate_knn_cell(points.count(), 8)
+        # size blocks by density, but never below r_cand (locality proof).
+        # ~288 pts/block (1.5× the kNN default edge length): randomized
+        # interleaved A/B at 200k uniform points — per-group Arrow/pandas
+        # overhead falls with group count faster than the ~B² candidate-
+        # matrix growth up to ×1.5, then compute wins (×3 is 1.7× slower);
+        # the RNG kernel gains ~4× at the same setting.  Density-relative
+        # (a per-block COUNT target), so it transfers across scale factors.
+        cell_size = estimate_knn_cell(points.count(), 8,
+                                      target_per_block=288.0)
     B = max(float(cell_size), float(r_cand))
-    r = float(r_cand)
     pts = with_cell(points, cell_size=B)
     cands = explode_ring(pts, ring=1, cx="cell_cx", cy="cell_cy", out="qcell") \
         .select("node_id", "x", "y", "cell", "qcell")
-    # Exactness-preserving halo shrink: every candidate partner AND every
-    # disc/lune witness of an edge anchored in the home cell lies within
-    # r_cand of the home cell's box (candidate: |uv| ≤ r with u in the box;
-    # disc witness: |wu| ≤ d ≤ r; lune witness: d(u,w) < d ≤ r).  Rows of
-    # the 3×3 ring farther than that can never influence a home edge, so
-    # they are dropped BEFORE the shuffle — at B ≫ r this cuts exploded
-    # rows ~(1+2r/B)²/9, and the kernel's matrices shrink with them.  The
-    # bound is slackened by 1e-9 relative so box-edge rounding keeps the
-    # filter a superset (extra rows are harmless; missing ones are not).
-    qcx = F.floor(F.col("qcell") / F.lit(CELL_SHIFT)).cast("long")
-    qcy = (F.col("qcell") - qcx * F.lit(CELL_SHIFT)).cast("long")
-    bx0 = (qcx - F.lit(CELL_OFFSET)).cast("double") * F.lit(B)
-    by0 = (qcy - F.lit(CELL_OFFSET)).cast("double") * F.lit(B)
-    ddx = F.greatest(F.lit(0.0), bx0 - F.col("x"),
-                     F.col("x") - (bx0 + F.lit(B)))
-    ddy = F.greatest(F.lit(0.0), by0 - F.col("y"),
-                     F.col("y") - (by0 + F.lit(B)))
-    cands = cands.where(ddx * ddx + ddy * ddy
-                        <= F.lit(r * r * (1.0 + 1e-9) + 1e-30))
+    # (An exactness-preserving pre-shuffle halo shrink — drop ring rows
+    # farther than r_cand from the home cell's box — was measured ~0.3 s
+    # SLOWER end-to-end at the bench shape despite shipping 2.25× fewer
+    # rows; the interleaved A/B is recorded in OPTIMIZATION_r07.md.)
     return (cands.groupBy("qcell")
-            .applyInPandas(_empty_graph_kernel(r, B, mode),
+            .applyInPandas(_empty_graph_kernel(float(r_cand), B, mode),
                            "u long, v long, weight double"))
 
 
