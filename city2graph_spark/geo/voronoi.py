@@ -235,6 +235,16 @@ def halfplane_cells(sites: np.ndarray, subject: np.ndarray) -> list[np.ndarray]:
                 return poly, exhausted
 
             def cell_for():
+                # Known limitation (ADVICE r6): for a strongly NON-CONVEX
+                # subject whose half-plane cell is disconnected, a far
+                # component lying ENTIRELY outside the initial box never
+                # enters the clipped poly, so _touches_box cannot see it
+                # and the boxed result can miss that component.  The
+                # enclosure subjects this runs on are single connected
+                # rings whose cells are star-shaped around their site in
+                # practice; a disconnected-cell subject would need the
+                # unboxed path (set big_subject handling aside) — keep
+                # this in mind before reusing the boxed path elsewhere.
                 out = None
                 if big_subject and n > 300:
                     R = 2.0 * float(np.sqrt(Drow[cand[min(len(cand) - 1,

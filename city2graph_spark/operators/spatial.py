@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .net import BroadcastGraph
-from .topology import connected_components
 
 
 def convex_hull(pts: np.ndarray) -> np.ndarray:
@@ -273,19 +272,32 @@ def create_isochrone(nodes: DataFrame, edges: DataFrame,
     pos = {int(i): arr[k] for k, i in enumerate(ids)}
 
     out: dict[float, list[np.ndarray]] = {}
-    spark = nodes.sparkSession
     for t in sorted(thresholds):
         reach = {n for n, cst in costs.items() if cst <= t}
         if not reach:
             out[t] = []
             continue
-        sub = edges.where(F.col("src").isin(list(reach))
-                          & F.col("dst").isin(list(reach)))
-        rnodes = spark.createDataFrame([(int(n),) for n in reach], "node_id long")
-        cc = connected_components(sub, nodes=rnodes)
+        # components of the reachable subgraph via BFS over the adjacency
+        # ALREADY at the driver (the same street-scale contract that holds
+        # the broadcast graph and the cost map here).  The previous
+        # distributed connected_components per threshold re-shuffled data
+        # the driver already had — ~5 s of iterative Spark jobs per
+        # threshold for zero distribution benefit at this graph size.
+        comp_of: dict[int, int] = {}
+        for n in sorted(reach):
+            if n in comp_of:
+                continue
+            comp_of[n] = n
+            stack = [n]
+            while stack:
+                u = stack.pop()
+                for v, _w in g.adj.get(u, ()):
+                    if v in reach and v not in comp_of:
+                        comp_of[v] = n
+                        stack.append(v)
         comp: dict[int, list] = {}
-        for r in cc.collect():
-            comp.setdefault(r["component"], []).append(pos[int(r["node"])])
+        for n in sorted(reach):
+            comp.setdefault(comp_of[n], []).append(pos[int(n)])
         hulls = []
         for pts in comp.values():
             P = np.array(pts)

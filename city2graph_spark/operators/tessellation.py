@@ -669,6 +669,7 @@ def _subtract_holes(rl: list[np.ndarray], holes: list[np.ndarray]
     # hole, so it cannot be swallowed whole).
     hs = []
     hole_segs = []
+    far = []
     for h in holes:
         if len(h) < 3 or h[:, 0].max() < x0 or h[:, 0].min() > x1 \
                 or h[:, 1].max() < y0 or h[:, 1].min() > y1:
@@ -681,6 +682,21 @@ def _subtract_holes(rl: list[np.ndarray], holes: list[np.ndarray]
         if near.any():
             hs.append(h)
             hole_segs.append(np.column_stack([h[near], b[near]]))
+        else:
+            far.append(h)
+    # A hole whose bbox overlaps but whose boundary stays entirely away
+    # cannot subdivide the cell — but the cell could lie WHOLLY inside it
+    # (nothing enforces that every Voronoi site is outside every hole).
+    # Since no boundary segment crosses the cell bbox, every bbox point is
+    # on the same side of that hole: one interior-point test per far hole
+    # decides containment, and a swallowed cell is removed outright.
+    if far:
+        rp = ring_rep_point(ext)
+        px = np.array([rp[0]])
+        py = np.array([rp[1]])
+        for h in far:
+            if points_within_ring(px, py, h[:, 0], h[:, 1])[0]:
+                return []
     if not hs:
         return rl
     segs = []

@@ -191,11 +191,12 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     # On a real cluster this is the Iceberg-snapshot checkpoint site.
     labels = base.withColumn("component", F.col("node")).localCheckpoint()
     for _ in range(max_iter):
-        # neighbor-min step (small-star)
+        # neighbor-min step (small-star); the pre-step label rides along as
+        # _old so convergence detection below needs no extra join pass
         nbr_min = (sym.join(labels, sym.b == labels.node)
                    .groupBy("a").agg(F.min("component").alias("_nb")))
         stepped = (labels.join(nbr_min, labels.node == nbr_min.a, "left")
-                   .select("node",
+                   .select("node", F.col("component").alias("_old"),
                            F.least("component",
                                    F.coalesce("_nb", F.col("component")))
                            .alias("component")))
@@ -203,12 +204,14 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         hop = stepped.select(F.col("node").alias("_n2"),
                              F.col("component").alias("_c2"))
         new_labels = (stepped.join(hop, stepped.component == hop._n2, "left")
-                      .select("node", F.coalesce("_c2", F.col("component"))
+                      .select("node", "_old",
+                              F.coalesce("_c2", F.col("component"))
                               .alias("component"))).localCheckpoint()
-        changed = (new_labels.join(labels.withColumnRenamed("component", "_old"),
-                                   "node")
-                   .where(F.col("component") != F.col("_old")).limit(1).count())
-        labels = new_labels
+        # one cheap scan of the just-materialised checkpoint — the old
+        # re-join of new vs old labels was a full extra shuffle per round
+        changed = new_labels.where(F.col("component") != F.col("_old")) \
+            .limit(1).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
     sym.unpersist()
@@ -228,15 +231,17 @@ def minimum_spanning_forest(edges: DataFrame, *, src: str = "u",
 
     Returns the forest edges (u, v, weight) — the MST when connected.
     """
-    e = edges.select(F.least(src, dst).alias("u"),
-                     F.greatest(src, dst).alias("v"),
-                     F.col(weight).alias("weight")) \
+    e0 = edges.select(F.least(src, dst).alias("u"),
+                      F.greatest(src, dst).alias("v"),
+                      F.col(weight).alias("weight")) \
         .dropDuplicates(["u", "v"]).persist()
+    e = e0
     nodes = e.select(F.col("u").alias("node")) \
         .unionByName(e.select(F.col("v").alias("node"))).dropDuplicates()
     spark = edges.sparkSession
     picked = spark.createDataFrame([], "u long, v long, weight double")
     comp = nodes.withColumn("component", F.col("node")).localCheckpoint()
+    prev_inter = None
     for _ in range(max_rounds):
         cu = comp.select(F.col("node").alias("u"),
                          F.col("component").alias("_cu"))
@@ -271,12 +276,13 @@ def minimum_spanning_forest(edges: DataFrame, *, src: str = "u",
         for _ in range(60):
             hop = par.select(F.col("c").alias("_hc"), F.col("p").alias("_hp"))
             jumped = (par.join(hop, par.p == hop._hc, "left")
-                      .select("c", F.coalesce("_hp", F.col("p")).alias("p"))
+                      .select("c", F.col("p").alias("_old"),
+                              F.coalesce("_hp", F.col("p")).alias("p"))
                       ).localCheckpoint()
-            changed = (jumped.join(par.withColumnRenamed("p", "_old"), "c")
-                       .where(F.col("p") != F.col("_old"))
-                       .limit(1).count())
-            par = jumped
+            # convergence read off the fresh checkpoint — no re-join pass
+            changed = jumped.where(F.col("p") != F.col("_old")) \
+                .limit(1).count()
+            par = jumped.drop("_old")
             if changed == 0:
                 break
         comp = (comp.join(par.withColumnRenamed("c", "component"),
@@ -284,8 +290,20 @@ def minimum_spanning_forest(edges: DataFrame, *, src: str = "u",
                 .select("node", F.coalesce("p", F.col("component"))
                         .alias("component"))).localCheckpoint()
         mins.unpersist()
-        inter.unpersist()
-    e.unpersist()
+        # contract: an edge inside one component can never cross components
+        # later (components only grow), so the next round joins only the
+        # still-crossing edges — the joined/shuffled edge set shrinks
+        # geometrically instead of re-scanning all of e each round.  The
+        # current inter's cache is fully populated by the mins/picked
+        # materialisation above, so releasing the previous round's cache
+        # here cannot force a recompute of live data.
+        e = inter.select("u", "v", "weight")
+        if prev_inter is not None:
+            prev_inter.unpersist()
+        prev_inter = inter
+    e0.unpersist()
+    if prev_inter is not None:
+        prev_inter.unpersist()
     return picked
 
 

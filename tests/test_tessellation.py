@@ -445,3 +445,22 @@ def test_round_buffer_parity(spark):
     a_d = sorted(round(v, 2) for v in drv.values())
     a_t = sorted(round(v, 2) for v in dst.values())
     assert a_d == pytest.approx(a_t, abs=0.5)
+
+
+def test_subtract_holes_cell_swallowed_by_far_hole():
+    """A cell wholly inside a hole whose boundary never approaches the cell
+    bbox must be removed, not kept (the old code dropped such holes from
+    both the overlay AND the containment test)."""
+    import numpy as np
+
+    from city2graph_spark.operators.tessellation import _subtract_holes
+
+    hole = np.array([[0.0, 0.0], [100.0, 0.0], [100.0, 100.0], [0.0, 100.0]])
+    inside_cell = [np.array([[40.0, 40.0], [60.0, 40.0],
+                             [60.0, 60.0], [40.0, 60.0]])]
+    assert _subtract_holes(inside_cell, [hole]) == []
+    # a cell clear of the hole bbox is untouched
+    outside_cell = [np.array([[140.0, 140.0], [160.0, 140.0],
+                              [160.0, 160.0], [140.0, 160.0]])]
+    out = _subtract_holes(outside_cell, [hole])
+    assert len(out) == 1 and np.array_equal(out[0], outside_cell[0])
