@@ -256,25 +256,21 @@ def knn_graph(points: DataFrame, k: int, *, cell_size: float,
            .select(F.col("cell").alias("qcell"),
                    F.ceil(F.col("count") / salt_target).cast("int")
                    .alias("_nsalt")))
-    if hot.isEmpty():
-        # common case (no superblock past salt_target): the salting
-        # machinery — broadcast join + per-row xxhash64 + a Generate that
-        # breaks whole-stage codegen — would touch all 9n exploded rows for
-        # nothing.  One tiny aggregation job decides; the salted plan below
-        # is reserved for inputs that actually have hot cells.
-        cands = cands.withColumn("_salt", F.lit(0)) \
-                     .withColumn("_probe", F.col("cell") == F.col("qcell"))
-    else:
-        cands = (cands.join(F.broadcast(hot), "qcell", "left")
-                 .withColumn("_nsalt", F.coalesce("_nsalt", F.lit(1)))
-                 .withColumn("_psalt", F.pmod(F.xxhash64("node_id"),
-                                              F.col("_nsalt")))
-                 .withColumn("_salt", F.explode(F.sequence(
-                     F.lit(0), F.col("_nsalt") - 1)))
-                 .withColumn("_probe", (F.col("cell") == F.col("qcell"))
-                             & (F.col("_salt") == F.col("_psalt")))
-                 .select("node_id", "x", "y", "cell", "qcell", "_salt",
-                         "_probe"))
+    # (Two salting-bypass variants were measured this round and both
+    # reverted: an isEmpty()-branch paid an extra blocking job per call
+    # (knn 1.81 → 2.55 s whole-process medians), and a lazy anti-join/
+    # union split measured 1.58 → 1.88 s on a quiet host — the per-row
+    # hash+Generate below is cheaper than a second broadcast probe pass
+    # in the regime the bench runs.  See OPTIMIZATION_r07.md.)
+    cands = (cands.join(F.broadcast(hot), "qcell", "left")
+             .withColumn("_nsalt", F.coalesce("_nsalt", F.lit(1)))
+             .withColumn("_psalt", F.pmod(F.xxhash64("node_id"),
+                                          F.col("_nsalt")))
+             .withColumn("_salt", F.explode(F.sequence(
+                 F.lit(0), F.col("_nsalt") - 1)))
+             .withColumn("_probe", (F.col("cell") == F.col("qcell"))
+                         & (F.col("_salt") == F.col("_psalt")))
+             .select("node_id", "x", "y", "cell", "qcell", "_salt", "_probe"))
     top1 = _persist(
         cands.groupBy("qcell", "_salt")
         .applyInPandas(_local_topk_kernel(k, metric, B),
@@ -641,14 +637,14 @@ def _empty_region_graph(points: DataFrame, r_cand: float,
                         cell_size: float | None, mode: str) -> DataFrame:
     if cell_size is None:
         # size blocks by density, but never below r_cand (locality proof).
-        # ~288 pts/block (1.5× the kNN default edge length): randomized
-        # interleaved A/B at 200k uniform points — per-group Arrow/pandas
-        # overhead falls with group count faster than the ~B² candidate-
-        # matrix growth up to ×1.5, then compute wins (×3 is 1.7× slower);
-        # the RNG kernel gains ~4× at the same setting.  Density-relative
-        # (a per-block COUNT target), so it transfers across scale factors.
-        cell_size = estimate_knn_cell(points.count(), 8,
-                                      target_per_block=288.0)
+        # Block-target sweeps (×1..×4 edge length, randomized interleaved)
+        # were run twice this round: on a heavily-contended host ×1.5 won
+        # ~1.7× (gabriel) / ~4× (rng), but on a normal host the SAME sweep
+        # consistently favors the 128/block default in both warm-session
+        # and fresh-session regimes (gabriel 2.5 vs 2.9 s, rng 3.2 vs
+        # 4.4 s at 200k points) — the contended-host advantage did not
+        # reproduce, so the default stays 128 (OPTIMIZATION_r07.md).
+        cell_size = estimate_knn_cell(points.count(), 8)
     B = max(float(cell_size), float(r_cand))
     pts = with_cell(points, cell_size=B)
     cands = explode_ring(pts, ring=1, cx="cell_cx", cy="cell_cy", out="qcell") \

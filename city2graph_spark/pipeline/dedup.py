@@ -258,13 +258,30 @@ def simhash_neardup_pairs(docs: DataFrame, *, bits: int = 16,
                     F.explode(F.array(*band_structs)).alias("_b"))
           .select("doc_id", "simhash", F.col("_b.band").alias("band"),
                   F.col("_b.bits").alias("bits")))
+    # Same plan shape as minhash_lsh_pairs: forced sort-merge self-join so
+    # the simhash subtree computes once (exchange reuse), and each pair is
+    # kept only in its FIRST colliding bit-band (both full hashes ride the
+    # join) — replaces the output-sized dropDuplicates exchange with a
+    # codegen filter.
     a = bd.select(F.col("doc_id").alias("doc_a"),
-                  F.col("simhash").alias("ha"), "band", "bits")
+                  F.col("simhash").alias("ha"), "band", "bits").hint("merge")
     b2 = bd.select(F.col("doc_id").alias("doc_b"),
                    F.col("simhash").alias("hb"), "band", "bits")
+    eqs = []
+    for b in range(nb):
+        lo = b * w
+        width = min(w, bits - lo)
+        if width <= 0:
+            break
+        mask = (1 << width) - 1
+        eqs.append(((F.expr(f"shiftright(ha, {lo}) & {mask}")
+                     == F.expr(f"shiftright(hb, {lo}) & {mask}"))
+                    ).cast("int"))
+    first_eq = F.array_position(F.array(*eqs), 1)
     cand = (a.join(b2, ["band", "bits"])
             .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "ha", "hb").dropDuplicates())
+            .where(first_eq == F.col("band") + 1)
+            .select("doc_a", "doc_b", "ha", "hb"))
     return (cand
             .withColumn("hamming",
                         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
