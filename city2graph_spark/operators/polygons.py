@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 
 from ..index import explode_cells_in_box, with_cell
 
+# max candidate points aggregated into ONE Arrow row by group_nodes — a
+# domain-wrapping polygon's candidate list is hash-chunked to this bound,
+# so no single row exceeds ~cap·24 B of point payload (+ its vertex rings).
+_GROUP_NODES_CAND_CAP = 100_000
+
 
 def polygons_from_wkt(df: DataFrame, id_col: str = "poly_id",
                       wkt_col: str = "wkt") -> DataFrame:
@@ -180,7 +185,21 @@ def group_nodes(verts: DataFrame, points: DataFrame, *,
     vlist = verts.groupBy("poly_id").agg(
         F.sort_array(F.collect_list(F.struct("ring", "seq", "x", "y")))
          .alias("_verts"))
-    cand = (cand.groupBy("poly_id")
+    # ... bounded per row: the r6 one-row-per-polygon fix made the payload
+    # |verts| + |cands|, but a domain-wrapping polygon's FULL candidate
+    # list in one collect_list is itself an unbounded Arrow row (the
+    # inverse problem, VERDICT r6).  Hash-chunk the candidates so no row
+    # holds more than _GROUP_NODES_CAND_CAP points; each chunk re-ships
+    # the polygon's rings (bounded duplication: ⌈n_cand/cap⌉ copies), and
+    # chunks partition the candidate set so the unioned hits are identical
+    # with no dedup needed.
+    ccounts = cand.groupBy("poly_id").agg(F.count("*").alias("_nc"))
+    cand = (cand.join(ccounts, "poly_id")
+            .withColumn("_chunk", F.pmod(
+                F.xxhash64("node_id"),
+                F.ceil(F.col("_nc") / F.lit(_GROUP_NODES_CAND_CAP))
+                 .cast("long")))
+            .groupBy("poly_id", "_chunk")
             .agg(F.collect_list(F.struct("node_id", "x", "y")).alias("_pts"))
             .join(vlist, "poly_id"))
 

@@ -151,3 +151,25 @@ def test_centroid_hole_aware(spark):
     # (100*5 - 4*7) / 96
     assert abs(r.cx - 472.0 / 96.0) < 1e-12
     assert abs(r.cy - 472.0 / 96.0) < 1e-12
+
+
+def test_group_nodes_chunked_candidates_bounded(spark, monkeypatch):
+    """One polygon x 10^6 candidate points: the per-polygon candidate
+    aggregation must hash-chunk (no single Arrow row holds the full list)
+    and the unioned chunk results must equal the exact membership."""
+    import city2graph_spark.operators.polygons as pg
+
+    monkeypatch.setattr(pg, "_GROUP_NODES_CAND_CAP", 100_000)
+    # 1000x1000 grid on [0,1)^2, generated JVM-side
+    pts = spark.range(1_000_000).select(
+        F.col("id").alias("node_id"),
+        (F.col("id") % 1000).cast("double") / 1000.0,
+        (F.col("id") / 1000).cast("long").cast("double") / 1000.0,
+    ).toDF("node_id", "x", "y")
+    square = spark.createDataFrame(
+        [(7, 0, i, x, y) for i, (x, y) in enumerate(
+            [(0.25, 0.25), (0.75, 0.25), (0.75, 0.75), (0.25, 0.75)])],
+        "poly_id long, ring long, seq long, x double, y double")
+    e = pg.group_nodes(square, pts, cell_size=0.25)
+    # covered_by is boundary-inclusive: grid lines 250..750 on both axes
+    assert e.count() == 501 * 501
