@@ -356,14 +356,17 @@ def place_to_movement_graph(place_verts: DataFrame, mv: DataFrame, *,
 # M9/M10/M11 reachability
 # --------------------------------------------------------------------------
 
-def reachability_field(mv: DataFrame, center_xy: tuple[float, float]
+def reachability_field(mv: DataFrame, center_xy: tuple[float, float], *,
+                       graph: tuple[DataFrame, DataFrame] | None = None
                        ) -> tuple[dict, DataFrame, DataFrame]:
     """M9: snap the center onto the nearest movement part (not node!), wire a
     temp source to the movement's two endpoint nodes with costs
     access+along / access+(len−along) (morphology.py:3200-3209), then one
-    Dijkstra.  Returns (node→cost dict, street nodes df, street edges df)."""
+    Dijkstra.  Returns (node→cost dict, street nodes df, street edges df).
+    ``graph`` optionally supplies a precomputed ``street_graph(mv)`` pair so
+    composite callers (the morphological DAG) build it once."""
     import numpy as np
-    nodes, edges = street_graph(mv)
+    nodes, edges = graph if graph is not None else street_graph(mv)
     parts = polyline_parts(mv).collect()
     if not parts:
         return {}, nodes, edges
@@ -397,9 +400,11 @@ def reachability_field(mv: DataFrame, center_xy: tuple[float, float]
 
 
 def segments_within_network_distance(mv: DataFrame, costs: dict,
-                                     max_distance: float) -> DataFrame:
+                                     max_distance: float, *,
+                                     graph: tuple[DataFrame, DataFrame]
+                                     | None = None) -> DataFrame:
     """M11: movement kept iff min(endpoint node cost) ≤ max_distance."""
-    _, edges = street_graph(mv)
+    _, edges = graph if graph is not None else street_graph(mv)
     spark = mv.sparkSession
     cost_df = spark.createDataFrame(
         [(int(k), float(v)) for k, v in costs.items()] or [(None, None)],
@@ -417,14 +422,16 @@ def segments_within_network_distance(mv: DataFrame, costs: dict,
 
 
 def reachable_within_caps(points: DataFrame, mv: DataFrame, costs: dict, *,
-                          extent_buffer: float, max_distance: float) -> DataFrame:
+                          extent_buffer: float, max_distance: float,
+                          graph: tuple[DataFrame, DataFrame] | None = None
+                          ) -> DataFrame:
     """M10: a point survives iff some movement part offers perpendicular
     access ≤ extent_buffer AND network cost to the projection foot ≤
     max_distance, with cost = min(endpoint cost + along, other endpoint +
     len − along); access is never added to the network budget
     (morphology.py:3212-3279)."""
     parts = polyline_parts(mv)
-    nodes, _ = street_graph(mv)
+    nodes, _ = graph if graph is not None else street_graph(mv)
     spark = points.sparkSession
     cost_df = spark.createDataFrame(
         [(int(k), float(v)) for k, v in costs.items()] or [(None, None)],
@@ -686,13 +693,18 @@ def morphological_graph(building_verts: DataFrame, mv: DataFrame,
         mv_move = mv.join(bids, "movement_id", "left_anti")
     else:
         bids, mv_move = None, mv
-    costs, _, _ = reachability_field(mv_move, center_xy)
+    # the street graph is consumed by M9 (reachability), M11 (near filter)
+    # and M10 (centroid caps) — build its two-stage node-id pipeline ONCE
+    # and checkpoint it, instead of re-running segments_to_graph per stage
+    sg_nodes, sg_edges = street_graph(mv_move)
+    sg = (sg_nodes.localCheckpoint(), sg_edges.localCheckpoint())
+    costs, _, _ = reachability_field(mv_move, center_xy, graph=sg)
     # localCheckpoint (not persist): downstream layers self-join mv_near
     # repeatedly — truncating the lineage keeps Catalyst from re-optimizing
     # the full reachability plan inside every self-join (measured 89s → 4s
     # on the connected_to layer at gate scale)
-    mv_near = segments_within_network_distance(mv_move, costs, distance) \
-        .localCheckpoint()
+    mv_near = segments_within_network_distance(mv_move, costs, distance,
+                                               graph=sg).localCheckpoint()
     tess_mv = mv_near
     if bids is not None:
         radius = distance if math.isinf(clipping_buffer) \
@@ -716,7 +728,7 @@ def morphological_graph(building_verts: DataFrame, mv: DataFrame,
         contiguity=contiguity, tolerance=tolerance,
         keep_buildings=keep_buildings,
         enclosed=(tessellation == "enclosed"),
-        faced_mv=_barrier_geometry(mv_near, barrier_verts))
+        faced_mv=_barrier_geometry(mv_near, barrier_verts), graph=sg)
 
 
 def morphological_graphs(building_verts: DataFrame, mv: DataFrame,
@@ -749,9 +761,11 @@ def morphological_graphs(building_verts: DataFrame, mv: DataFrame,
         mv_move = mv.join(bids, "movement_id", "left_anti")
     else:
         bids, mv_move = None, mv
-    costs, _, _ = reachability_field(mv_move, center_xy)
-    mv_near_max = segments_within_network_distance(mv_move, costs, max(dv)) \
-        .localCheckpoint()
+    sg_nodes, sg_edges = street_graph(mv_move)
+    sg = (sg_nodes.localCheckpoint(), sg_edges.localCheckpoint())
+    costs, _, _ = reachability_field(mv_move, center_xy, graph=sg)
+    mv_near_max = segments_within_network_distance(mv_move, costs, max(dv),
+                                                   graph=sg).localCheckpoint()
     tess_mv = mv_near_max
     if bids is not None:
         radius = max(dv) if math.isinf(clipping_buffer) \
@@ -774,15 +788,15 @@ def morphological_graphs(building_verts: DataFrame, mv: DataFrame,
         # always filter from the FULL movement table: node ids in ``costs``
         # come from the full street graph
         mv_near = (mv_near_max if d == max(dv)
-                   else segments_within_network_distance(mv_move, costs, d)
-                   .localCheckpoint())
+                   else segments_within_network_distance(
+                       mv_move, costs, d, graph=sg).localCheckpoint())
         out[d] = _layers_for_distance(
             cells, building_verts, mv_move, mv_near, costs, d,
             extent_buffer=extent_buffer, clipping_buffer=clipping_buffer,
             contiguity=contiguity, tolerance=tolerance,
             keep_buildings=keep_buildings,
             enclosed=(tessellation == "enclosed"),
-            faced_mv=_barrier_geometry(mv_near, barrier_verts))
+            faced_mv=_barrier_geometry(mv_near, barrier_verts), graph=sg)
     return out
 
 
@@ -814,7 +828,8 @@ def _layers_for_distance(cells: DataFrame, building_verts: DataFrame,
                          clipping_buffer: float, contiguity: str,
                          tolerance: float, keep_buildings: bool,
                          enclosed: bool,
-                         faced_mv: DataFrame | None = None
+                         faced_mv: DataFrame | None = None,
+                         graph: tuple[DataFrame, DataFrame] | None = None
                          ) -> dict[str, DataFrame]:
     if enclosed:
         cells = filter_adjacent_tessellation(
@@ -826,7 +841,7 @@ def _layers_for_distance(cells: DataFrame, building_verts: DataFrame,
                 F.col("cx").alias("x"), F.col("cy").alias("y"))
     kept = reachable_within_caps(cents, mv, costs,
                                  extent_buffer=extent_buffer,
-                                 max_distance=distance)
+                                 max_distance=distance, graph=graph)
     cells_kept = cells.join(kept.select(F.col("node_id").alias("place_id")),
                             "place_id", "left_semi").localCheckpoint()
     pv = cells_kept.withColumnRenamed("place_id", "poly_id")
